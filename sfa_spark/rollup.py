@@ -1,0 +1,176 @@
+"""Tiered continuous aggregates (1m/1h/1d) + LOCF gap-fill + retention.
+
+This is the engine's rollup core (north rule: "time-series rollup +
+downsample + retention engine ... gap-fill ... continuous aggregates").
+The reference's analogue is disjoint (tumbling) windowing
+(/root/reference/src/main/java/sfa/timeseries/TimeSeries.java:256-271,
+``getDisjointSequences``); here a tumbling rollup is a plain hash
+aggregate on ``(key, date_trunc(tier, ts))`` — Catalyst gives map-side
+partial aggregation, so the shuffle carries one partial row per
+(key, bucket) per input partition, not raw points.
+
+Scale notes (100 TB / 1000 executors):
+* The 1m tier is the only aggregation that reads raw points; 1h and 1d
+  re-aggregate the next-finer tier (associative summaries only), so the
+  expensive scan happens once.
+* All three tiers group by the same key — ``repartition(key)`` once
+  upstream makes the per-tier aggregations and the LOCF window reuse one
+  exchange (Catalyst recognizes the co-partitioning).
+* LOCF's dense spine is generated per key with ``sequence()`` — rows are
+  produced executor-side (no driver loop) and stay co-partitioned with
+  the aggregate they join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tier name → (date_trunc unit, bucket width in seconds)
+TIERS: dict[str, tuple[str, int]] = {
+    "1m": ("minute", 60),
+    "1h": ("hour", 3600),
+    "1d": ("day", 86400),
+}
+
+#: the summary columns every tier carries (all associative/re-aggregable)
+SUMMARY_COLS = ["n", "sum", "min", "max", "first", "last"]
+
+
+def bucket_expr(ts_col: str, tier: str) -> Column:
+    unit, _ = TIERS[tier]
+    return F.date_trunc(unit, F.col(ts_col))
+
+
+def rollup_tier(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    tier: str = "1m",
+) -> DataFrame:
+    """Aggregate raw points into one tier: tumbling ``date_trunc`` buckets.
+
+    Output: key_cols + (bucket_ts, n, sum, min, max, first, last).
+    ``first``/``last`` are value-at-min-ts / value-at-max-ts (min_by /
+    max_by), i.e. deterministic, not partition-order ``F.first``.
+    """
+    v = F.col(value_col)
+    return (
+        df.groupBy(*key_cols, bucket_expr(ts_col, tier).alias("bucket_ts"))
+        .agg(
+            F.count(v).alias("n"),
+            F.sum(v).alias("sum"),
+            F.min(v).alias("min"),
+            F.max(v).alias("max"),
+            F.min_by(v, F.col(ts_col)).alias("first"),
+            F.max_by(v, F.col(ts_col)).alias("last"),
+        )
+    )
+
+
+def reaggregate(
+    tier_df: DataFrame, key_cols: list[str], to_tier: str
+) -> DataFrame:
+    """Re-aggregate a finer tier's partial summaries into a coarser tier.
+
+    Only associative summaries are carried (SURVEY.md §7.1 stage 4):
+    n=Σn, sum=Σsum, min=min(min), max=max(max), first=first-of-earliest-
+    bucket, last=last-of-latest-bucket. Input must have the columns
+    produced by :func:`rollup_tier` with ``bucket_ts``.
+    """
+    return (
+        tier_df.groupBy(
+            *key_cols, bucket_expr("bucket_ts", to_tier).alias("bucket_ts")
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum").alias("sum"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.min_by("first", F.col("bucket_ts")).alias("first"),
+            F.max_by("last", F.col("bucket_ts")).alias("last"),
+        )
+    )
+
+
+def dense_spine(
+    tier_df: DataFrame, key_cols: list[str], tier: str
+) -> DataFrame:
+    """Per-key dense bucket spine: every tier bucket between that key's
+    min and max observed bucket. Generated executor-side via
+    ``sequence() + explode`` — no driver loop, stays partitioned by key.
+    """
+    _, step = TIERS[tier]
+    return (
+        tier_df.groupBy(*key_cols)
+        .agg(F.min("bucket_ts").alias("_lo"), F.max("bucket_ts").alias("_hi"))
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr(f"INTERVAL {step} SECOND"))
+            ).alias("bucket_ts"),
+        )
+    )
+
+
+def gap_fill_locf(
+    tier_df: DataFrame,
+    key_cols: list[str],
+    tier: str,
+    fill_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gap-fill a rollup tier with last-observation-carried-forward.
+
+    1. build the dense per-key spine,
+    2. left-join the observed buckets (co-partitioned on key — AQE keeps
+       this a local join after the spine's groupBy),
+    3. carry ``fill_cols`` (default: ``last``) forward with
+       ``last(col, ignorenulls=True)`` over an unbounded-preceding window.
+
+    Adds ``locf_filled: boolean`` (true where the bucket had no points).
+    Empty buckets keep n=0; sum/min/max stay NULL (only the carried
+    columns are filled) — matching a pandas ``resample().ffill()`` on the
+    carried column.
+    """
+    from pyspark.sql import Window as W
+
+    fill_cols = fill_cols or ["last"]
+    spine = dense_spine(tier_df, key_cols, tier)
+    joined = spine.join(tier_df, on=[*key_cols, "bucket_ts"], how="left")
+    w = (
+        W.partitionBy(*key_cols)
+        .orderBy("bucket_ts")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    out = joined.withColumn("locf_filled", F.col("n").isNull()).fillna(
+        {"n": 0}
+    )
+    for c in fill_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def apply_retention(
+    tier_df: DataFrame, now_ts, keep_seconds: int
+) -> DataFrame:
+    """Drop buckets older than the tier's retention window.
+
+    ``now_ts`` is an explicit timestamp (never wall-clock — determinism).
+    At scale this predicate prunes whole partitions when the tier table
+    is written ``partitionBy(days(bucket_ts))``.
+    """
+    return tier_df.filter(
+        F.col("bucket_ts")
+        >= F.lit(now_ts) - F.expr(f"INTERVAL {keep_seconds} SECOND")
+    )
+
+
+def rollup_all_tiers(
+    df: DataFrame, key_cols: list[str], ts_col: str, value_col: str
+) -> dict[str, DataFrame]:
+    """The standard cascade: raw → 1m → 1h → 1d (scan raw once)."""
+    t1m = rollup_tier(df, key_cols, ts_col, value_col, "1m")
+    t1h = reaggregate(t1m, key_cols, "1h")
+    t1d = reaggregate(t1h, key_cols, "1d")
+    return {"1m": t1m, "1h": t1h, "1d": t1d}
