@@ -1,15 +1,18 @@
 """Chunk encoding: rollup tiers → compressed blocks (binary columns).
 
 The windowed-aggregate + Gorilla-encode stage the north rule names: after
-the tier aggregation, each series' buckets are chunked and compressed into
-(dod_blob, gorilla_blob) binary cells with per-block metrics. Runs inside
-``applyInPandas`` per key — the encode kernels are pure numpy array ops
+the tier aggregation, each series' buckets are compressed into
+(dod_blob, gorilla_blob) binary cells with per-block metrics, inside
+``applyInPandas`` — the encode kernels are pure numpy array ops
 (sfa_spark.codecs), Arrow carries the binary out.
 
-Scale notes: blocks are bounded (``max_block`` buckets) so a hot key's
-blob can't blow past executor memory or the 2 GB bytearray cap; block
-boundaries are deterministic (bucket order), so re-encoding a partition is
-idempotent — the property resumability (tableio) relies on.
+Skew/scale design: groups are **(key, time-aligned chunk)**, not bare key —
+``block_id = floor(unix_micros(bucket_ts) / (bucket_us · max_block))``.
+A heavy-hitter url therefore never lands in one giant task: its history
+splits into bounded ≤``max_block``-bucket groups that parallelize across
+executors. Block boundaries are epoch-aligned, so they are deterministic
+under any partitioning AND stable across incremental runs (re-encoding a
+time slice is idempotent — the tableio resume path relies on this).
 """
 
 from __future__ import annotations
@@ -17,58 +20,212 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from sfa_spark.codecs import dod_decode, dod_encode, gorilla_decode, gorilla_encode
+from sfa_spark.rollup import TIERS
 
-BLOCK_SCHEMA = (
-    "{key} long, block_id int, start_ts timestamp, n int, "
-    "dod_blob binary, gorilla_blob binary, raw_bytes long, enc_bytes long"
-)
+
+def _key_type(df: DataFrame, col: str) -> str:
+    return dict(df.dtypes)[col]
 
 
 def encode_tier_blocks(
     tier_df: DataFrame,
-    key_col: str,
+    key_cols: list[str] | str,
+    tier: str = "1m",
     value_col: str = "last",
     ts_col: str = "bucket_ts",
     max_block: int = 4096,
 ) -> DataFrame:
-    """(key, bucket_ts, value) rows → one compressed block row per
-    ``max_block`` buckets per key, with raw/encoded byte metrics."""
+    """(key…, bucket_ts, value) rows → one compressed block row per
+    (key…, epoch-aligned ≤max_block-bucket chunk), with byte metrics."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    _, bucket_s = TIERS[tier]
+    chunk_us = int(bucket_s) * 1_000_000 * max_block
 
-    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col)
-        key = pdf[key_col].iloc[0]
-        ts = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        vals = pdf[value_col].to_numpy(dtype=np.float64)
-        rows = []
-        for b, lo in enumerate(range(0, len(pdf), max_block)):
-            t_chunk = ts[lo : lo + max_block]
-            v_chunk = vals[lo : lo + max_block]
-            dod = dod_encode(t_chunk)
-            gor = gorilla_encode(v_chunk)
-            rows.append(
-                {
-                    key_col: key,
-                    "block_id": b,
-                    "start_ts": pd.Timestamp(t_chunk[0], unit="us"),
-                    "n": len(t_chunk),
-                    "dod_blob": dod,
-                    "gorilla_blob": gor,
-                    "raw_bytes": 16 * len(t_chunk),
-                    "enc_bytes": len(dod) + len(gor),
-                }
-            )
-        return pd.DataFrame(rows)
-
-    return tier_df.groupBy(key_col).applyInPandas(
-        per_key, schema=BLOCK_SCHEMA.format(key=key_col)
+    # prune to exactly what the kernel needs BEFORE the shuffle — the tier
+    # carries 6 summary columns but only (keys, ts, value) must travel
+    df = tier_df.select(
+        *key_cols,
+        (F.unix_micros(F.col(ts_col)) / F.lit(chunk_us)).cast("long").alias("block_id"),
+        F.unix_micros(F.col(ts_col)).alias("_ts_us"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    key_schema = ", ".join(
+        f"{c} {_key_type(tier_df, c)}" for c in key_cols
+    )
+    schema = (
+        f"{key_schema}, block_id long, start_ts timestamp, n int, "
+        "dod_blob binary, gorilla_blob binary, raw_bytes long, enc_bytes long"
     )
 
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = pdf["_ts_us"].to_numpy(dtype=np.int64)
+        order = np.argsort(ts, kind="stable")
+        ts = ts[order]
+        vals = pdf["_v"].to_numpy(dtype=np.float64)[order]
+        dod = dod_encode(ts)
+        gor = gorilla_encode(vals)
+        row = {c: pdf[c].iloc[0] for c in key_cols}
+        row.update(
+            block_id=pdf["block_id"].iloc[0],
+            start_ts=pd.Timestamp(ts[0], unit="us"),
+            n=len(ts),
+            dod_blob=dod,
+            gorilla_blob=gor,
+            raw_bytes=16 * len(ts),
+            enc_bytes=len(dod) + len(gor),
+        )
+        return pd.DataFrame([row])
 
-def decode_blocks(blocks_df: DataFrame, key_col: str) -> DataFrame:
+    return df.groupBy(*key_cols, "block_id").applyInPandas(per_block, schema=schema)
+
+
+def encode_tier_blocks_gapfill(
+    tier_df: DataFrame,
+    key_cols: list[str] | str,
+    tier: str = "1m",
+    value_col: str = "last",
+    ts_col: str = "bucket_ts",
+    max_block: int = 4096,
+) -> DataFrame:
+    """Fused LOCF gap-fill + block encode — the scale path.
+
+    ``encode_tier_blocks(gap_fill_locf(t))`` materializes the dense bucket
+    spine as DataFrame rows: at 1m resolution a year-long key is ~526k
+    rows, and every one of them pays the spine join, the LOCF window sort,
+    and the Arrow transfer into the encode UDF. This operator produces
+    BYTE-IDENTICAL blocks while keeping only *observed* buckets (plus one
+    carry-in row per block) in the DataFrame plane:
+
+      1. per-key bounds + per-block last-observed value — aggregates over
+         observed rows only (map-side combined);
+      2. a per-key BLOCK spine (|buckets|/max_block rows — thousands, not
+         millions) gets the carry-in via a tiny LOCF window + lag;
+      3. the encode kernel synthesizes the dense bucket range with
+         ``np.arange``, scatters observed values, forward-fills in numpy,
+         and Gorilla/DoD-encodes — dense data exists only inside the
+         vectorized kernel and the compressed output.
+
+    Verified equal to the unfused path in tests (same blobs, byte-for-byte).
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    _, bucket_s = TIERS[tier]
+    bucket_us = int(bucket_s) * 1_000_000
+    chunk_us = bucket_us * max_block
+    spark = tier_df.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+
+    # ONE pass over the observed buckets: shuffle by key (explicit N — AQE
+    # upstream may have coalesced to fewer partitions than cores), sort
+    # each partition by (key, ts), and run the kernel per partition with
+    # mapInPandas. All of a key's history is then contiguous in-order, so
+    # LOCF carry between blocks is plain sequential state inside the
+    # kernel — no dense spine rows, no window, no self-join, and IPC cost
+    # is per PARTITION (applyInPandas would pay per BLOCK).
+    obs = (
+        tier_df.select(
+            *key_cols,
+            F.unix_micros(F.col(ts_col)).alias("_us"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .repartition(n_part, *key_cols)
+        .sortWithinPartitions(*key_cols, "_us")
+    )
+
+    key_schema = ", ".join(f"{c} {_key_type(tier_df, c)}" for c in key_cols)
+    schema = (
+        f"{key_schema}, block_id long, start_ts timestamp, n int, "
+        "dod_blob binary, gorilla_blob binary, raw_bytes long, enc_bytes long"
+    )
+
+    def encode_partition(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        if pdf.empty:
+            return
+        # key-group boundaries over the sorted partition
+        change = np.zeros(len(pdf), dtype=bool)
+        change[0] = True
+        for c in key_cols:
+            col = pdf[c].to_numpy()
+            change[1:] |= col[1:] != col[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(pdf))
+        us_all = pdf["_us"].to_numpy(dtype=np.int64)
+        v_all = pdf["_v"].to_numpy(dtype=np.float64)
+        key_arrays = [pdf[c].to_numpy() for c in key_cols]
+
+        # columnar accumulators — per-block python overhead kept to appends
+        acc: dict[str, list] = {c: [] for c in key_cols}
+        acc.update(block_id=[], start_us=[], n=[], dod=[], gor=[])
+
+        def flush():
+            out = pd.DataFrame(
+                {
+                    **{c: acc[c] for c in key_cols},
+                    "block_id": acc["block_id"],
+                    "start_ts": pd.to_datetime(
+                        np.asarray(acc["start_us"], dtype=np.int64), unit="us"
+                    ),
+                    "n": np.asarray(acc["n"], dtype=np.int32),
+                    "dod_blob": acc["dod"],
+                    "gorilla_blob": acc["gor"],
+                }
+            )
+            out["raw_bytes"] = out["n"].astype(np.int64) * 16
+            out["enc_bytes"] = [len(a) + len(b) for a, b in zip(acc["dod"], acc["gor"])]
+            for v in acc.values():
+                v.clear()
+            return out
+
+        for s, e in zip(starts, ends):
+            k_us, k_v = us_all[s:e], v_all[s:e]
+            lo, hi = int(k_us[0]), int(k_us[-1])
+            kvals = [a[s] for a in key_arrays]
+            carry_v = np.nan
+            for block_id in range(lo // chunk_us, hi // chunk_us + 1):
+                start = max(block_id * chunk_us, lo)
+                end = min(block_id * chunk_us + chunk_us - bucket_us, hi)
+                ts = np.arange(start, end + 1, bucket_us, dtype=np.int64)
+                vals = np.full(ts.size, carry_v)
+                j0, j1 = np.searchsorted(k_us, [start, end + 1])
+                if j1 > j0:
+                    idx = (k_us[j0:j1] - start) // bucket_us
+                    scatter = np.full(ts.size, np.nan)
+                    scatter[idx] = k_v[j0:j1]
+                    seen = np.maximum.accumulate(
+                        np.where(~np.isnan(scatter), np.arange(ts.size), -1)
+                    )
+                    fill = seen >= 0
+                    vals[fill] = scatter[seen[fill]]
+                carry_v = vals[-1] if ts.size else carry_v
+                for c, kv in zip(key_cols, kvals):
+                    acc[c].append(kv)
+                acc["block_id"].append(block_id)
+                acc["start_us"].append(start)
+                acc["n"].append(ts.size)
+                acc["dod"].append(dod_encode(ts))
+                acc["gor"].append(gorilla_encode(vals))
+                if len(acc["n"]) >= 4096:
+                    yield flush()
+        if acc["n"]:
+            yield flush()
+
+    return obs.mapInPandas(encode_partition, schema=schema)
+
+
+def decode_blocks(blocks_df: DataFrame, key_cols: list[str] | str) -> DataFrame:
     """Inverse of :func:`encode_tier_blocks` — the read path: blocks back
-    to (key, bucket_ts, value) rows."""
+    to (key…, bucket_ts, value) rows."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    key_schema = ", ".join(f"{c} {_key_type(blocks_df, c)}" for c in key_cols)
 
     def per_batch(batches):
         for pdf in batches:
@@ -76,19 +233,15 @@ def decode_blocks(blocks_df: DataFrame, key_col: str) -> DataFrame:
             for _, row in pdf.iterrows():
                 ts = dod_decode(bytes(row["dod_blob"]))
                 vals = gorilla_decode(bytes(row["gorilla_blob"]))
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            key_col: row[key_col],
-                            "bucket_ts": pd.to_datetime(ts, unit="us"),
-                            "value": vals,
-                        }
-                    )
+                out = pd.DataFrame(
+                    {"bucket_ts": pd.to_datetime(ts, unit="us"), "value": vals}
                 )
-            yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
-                {key_col: [], "bucket_ts": [], "value": []}
-            )
+                for c in key_cols:
+                    out[c] = row[c]
+                outs.append(out[[*key_cols, "bucket_ts", "value"]])
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
 
     return blocks_df.mapInPandas(
-        per_batch, schema=f"{key_col} long, bucket_ts timestamp, value double"
+        per_batch, schema=f"{key_schema}, bucket_ts timestamp, value double"
     )

@@ -100,11 +100,21 @@ def dense_spine(
     """Per-key dense bucket spine: every tier bucket between that key's
     min and max observed bucket. Generated executor-side via
     ``sequence() + explode`` — no driver loop, stays partitioned by key.
+
+    Explicit shuffle sizing (north rule): the per-key min/max aggregate is
+    tiny (one row per key), so AQE coalesces its shuffle to ~1 partition —
+    and the downstream explode fans each row out to possibly millions of
+    bucket rows, which would then run single-threaded through the join,
+    LOCF window, and encode stages. Repartitioning the *pre-explode* rows
+    (cheap: |keys| rows) by key pins the fan-out across the cluster.
     """
     _, step = TIERS[tier]
+    spark = tier_df.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
     return (
         tier_df.groupBy(*key_cols)
         .agg(F.min("bucket_ts").alias("_lo"), F.max("bucket_ts").alias("_hi"))
+        .repartition(n_part, *key_cols)
         .select(
             *key_cols,
             F.explode(

@@ -16,7 +16,7 @@ def tier(events):
 
 
 def test_block_roundtrip_exact(spark, tier):
-    blocks = encode_tier_blocks(tier, "user_id", value_col="last", max_block=64)
+    blocks = encode_tier_blocks(tier, "user_id", tier="1h", value_col="last", max_block=64)
     decoded = decode_blocks(blocks, "user_id").toPandas()
     want = tier.select("user_id", "bucket_ts", "last").toPandas()
     d = decoded.sort_values(["user_id", "bucket_ts"]).reset_index(drop=True)
@@ -32,16 +32,35 @@ def test_block_roundtrip_exact(spark, tier):
 def test_blocks_compress_gapfilled_tier(spark, tier):
     """Gap-filled tiers have regular spacing + repeated LOCF values — the
     codecs should crush them (dod ≈ 1 bit/bucket, gorilla ≈ 1 bit/repeat)."""
-    blocks = encode_tier_blocks(tier, "user_id", value_col="last").toPandas()
+    blocks = encode_tier_blocks(tier, "user_id", tier="1h", value_col="last").toPandas()
     ratio = blocks["enc_bytes"].sum() / blocks["raw_bytes"].sum()
     assert ratio < 0.45, f"compression ratio {ratio:.2f} too weak"
     assert (blocks["n"] > 0).all()
 
 
 def test_block_boundaries_deterministic(spark, tier):
-    a = encode_tier_blocks(tier, "user_id", max_block=32).toPandas()
-    b = encode_tier_blocks(tier.repartition(7), "user_id", max_block=32).toPandas()
+    a = encode_tier_blocks(tier, "user_id", tier="1h", max_block=32).toPandas()
+    b = encode_tier_blocks(tier.repartition(7), "user_id", tier="1h", max_block=32).toPandas()
     a = a.sort_values(["user_id", "block_id"]).reset_index(drop=True)
     b = b.sort_values(["user_id", "block_id"]).reset_index(drop=True)
     assert (a["enc_bytes"].values == b["enc_bytes"].values).all()
     assert all(bytes(x) == bytes(y) for x, y in zip(a["gorilla_blob"], b["gorilla_blob"]))
+
+
+def test_fused_gapfill_encode_byte_identical(spark, events):
+    """encode_tier_blocks_gapfill(raw tier) must produce byte-identical
+    blocks to encode_tier_blocks(gap_fill_locf(raw tier))."""
+    from sfa_spark.encode import encode_tier_blocks_gapfill
+
+    t1h = rollup_tier(events, ["user_id"], "ts", "value", "1h")
+    unfused = encode_tier_blocks(
+        gap_fill_locf(t1h, ["user_id"], "1h"), "user_id", tier="1h", max_block=128
+    ).toPandas().sort_values(["user_id", "block_id"]).reset_index(drop=True)
+    fused = encode_tier_blocks_gapfill(
+        t1h, "user_id", tier="1h", max_block=128
+    ).toPandas().sort_values(["user_id", "block_id"]).reset_index(drop=True)
+    assert len(fused) == len(unfused)
+    assert (fused["block_id"].values == unfused["block_id"].values).all()
+    assert (fused["n"].values == unfused["n"].values).all()
+    assert all(bytes(a) == bytes(b) for a, b in zip(fused["dod_blob"], unfused["dod_blob"]))
+    assert all(bytes(a) == bytes(b) for a, b in zip(fused["gorilla_blob"], unfused["gorilla_blob"]))
