@@ -1,0 +1,201 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute_force_topk — exact cosine top-k: broadcast the query set, compute
+  dot products JVM-side via ``F.zip_with`` + ``F.aggregate`` (stays in
+  whole-stage codegen — no Python), top-k via window. The baseline/oracle.
+* lsh_topk — random-hyperplane LSH (signed projections → bucket join):
+  the scale path; probes only same-bucket candidates, then exact-scores
+  them. Recall controlled by (n_planes, n_tables).
+* cosine_near_dup — all-pairs near-duplicate detection by embedding
+  cosine, LSH-bucketed.
+
+At 100 TB embeddings live in their own table; both paths are one
+hash-join + aggregate shape, no driver-side matrices. A vectorized numpy
+variant of the scorer (pandas UDF) is provided for wide vectors where
+per-element `zip_with` loses to BLAS (``score_pandas=True``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def with_unit_vectors(
+    emb: DataFrame, vec_col: str = "embedding", out_col: str = "_unit"
+) -> DataFrame:
+    n = _norm(F.col(vec_col))
+    return emb.withColumn(
+        out_col,
+        F.when(
+            n > 0, F.transform(F.col(vec_col), lambda x: x / n)
+        ).otherwise(F.col(vec_col)),
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    score_pandas: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k per query. queries: (query_id, embedding).
+
+    crossJoin with the BROADCAST query set — each corpus partition scores
+    all queries locally; the only shuffle is the final top-k window over
+    (query, corpus-partition winners).
+    """
+    c = with_unit_vectors(emb, vec_col, "_cu").select(id_col, "_cu")
+    q = with_unit_vectors(queries, vec_col, "_qu").select(query_id_col, "_qu")
+    if score_pandas:
+
+        def score(it):
+            for pdf in it:
+                cm = np.stack(pdf["_cu"].to_numpy())
+                qm = np.stack(pdf["_qu"].to_numpy())
+                yield pd.DataFrame(
+                    {
+                        query_id_col: pdf[query_id_col],
+                        id_col: pdf[id_col],
+                        "score": (cm * qm).sum(axis=1),
+                    }
+                )
+
+        scored = c.crossJoin(F.broadcast(q)).mapInPandas(
+            score, schema=f"{query_id_col} long, {id_col} long, score double"
+        )
+    else:
+        scored = c.crossJoin(F.broadcast(q)).select(
+            query_id_col, id_col, _dot(F.col("_cu"), F.col("_qu")).alias("score")
+        )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_planes, dim))
+
+
+def _bucket_col(vec_col, planes: np.ndarray):
+    """Signed-projection bucket id per table: bit i = sign(v·h_i)."""
+    n_tables, n_planes, _ = planes.shape
+    buckets = []
+    for t in range(n_tables):
+        bits = F.lit(0).cast("long")
+        for p in range(n_planes):
+            h = planes[t, p]
+            proj = F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.array(*[F.lit(float(x)) for x in h]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits = bits + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        buckets.append(bits)
+    return F.array(*buckets)
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate cosine top-k: random-hyperplane buckets → candidate
+    join → exact re-score. Probes ~|corpus|/2^n_planes per table."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, n_tables, seed)
+    c = with_unit_vectors(emb, vec_col, "_cu").select(
+        id_col, "_cu", F.posexplode(_bucket_col(F.col("_cu"), planes)).alias("_t", "_b")
+    )
+    q = with_unit_vectors(queries, vec_col, "_qu").select(
+        query_id_col,
+        "_qu",
+        F.posexplode(_bucket_col(F.col("_qu"), planes)).alias("_t", "_b"),
+    )
+    cand = (
+        c.join(F.broadcast(q), ["_t", "_b"])
+        .select(query_id_col, id_col, "_cu", "_qu")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.select(
+        query_id_col, id_col, _dot(F.col("_cu"), F.col("_qu")).alias("score")
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+def cosine_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 10,
+    n_tables: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """All-pairs near-duplicates by cosine ≥ threshold, LSH-bucketed
+    (embedding flavor of near-dedup)."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, n_tables, seed)
+    u = with_unit_vectors(emb, vec_col, "_u").select(
+        id_col, "_u", F.posexplode(_bucket_col(F.col("_u"), planes)).alias("_t", "_b")
+    )
+    a, b = u.alias("a"), u.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a._b") == F.col("b._b"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._u").alias("_ua"),
+            F.col("b._u").alias("_ub"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a", "id_b", _dot(F.col("_ua"), F.col("_ub")).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

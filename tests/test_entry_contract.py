@@ -53,17 +53,21 @@ def test_query_matches_oracle(spark, name, fn, oracle):
         f"{name}: columns {list(got_n.columns)} != {list(want_n.columns)}"
     )
     assert len(got_n) == len(want_n), f"{name}: {len(got_n)} rows != {len(want_n)}"
-    for c in got_n.columns:
-        g, w = got_n[c], want_n[c]
-        if g.dtype.kind == "f" or w.dtype.kind == "f":
-            # driver hashes values: require bit-exact floats (NaN-safe)
-            np.testing.assert_array_equal(
-                g.astype(float).values, w.astype(float).values, err_msg=f"{name}.{c}"
-            )
-        else:
-            assert (g.values == w.values).all() or (
-                pd.isna(g.values) == pd.isna(w.values)
-            ).all(), f"{name}.{c} mismatch"
+    # same strictness as the driver's value hash: serialized representation
+    # must match exactly (catches dtype drift like DuckDB HUGEINT sums)
+    gcsv, wcsv = got_n.to_csv(index=False), want_n.to_csv(index=False)
+    if gcsv != wcsv:
+        for c in got_n.columns:
+            g, w = got_n[c], want_n[c]
+            if g.dtype.kind == "f" or w.dtype.kind == "f":
+                np.testing.assert_array_equal(
+                    g.astype(float).values, w.astype(float).values, err_msg=f"{name}.{c}"
+                )
+            else:
+                assert (g.astype(str).values == w.astype(str).values).all(), (
+                    f"{name}.{c} mismatch"
+                )
+        raise AssertionError(f"{name}: CSV hash mismatch (dtype/format drift)")
 
 
 def test_entry_smoke(spark):
