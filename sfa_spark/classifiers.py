@@ -1,0 +1,402 @@
+"""BOSS ensemble + BOSS VS classifiers — semantics-exact re-expressions of
+the reference classifiers (BOSSEnsembleClassifier.java,
+BOSSVSClassifier.java), validated against the reference's golden train/
+test accuracies (AbstractClassifierTest DELTA=0.05).
+
+Architecture note (Spark-first, not a port): model FITTING sweeps a
+window-length grid over the bounded training sample — in the reference a
+thread pool, here vectorized numpy per config (the distance kernel is one
+matmul per config; a 30-sample × 119-window grid fits in milliseconds per
+config, so distributing the grid would be all overhead). SCORING is where
+data is big: `predict_boss_ensemble_df` broadcasts the fitted ensemble
+(a small artifact) and scores test series inside ``applyInPandas`` —
+embarrassingly parallel over series, no shuffle.
+
+Exact semantics reproduced (file:line into /root/reference):
+* window grid desc max..10 (Classifier.java:510-516), max = min(250,len)
+* f sweep minF..maxF step 2, early break on perfect train score
+  (BOSSEnsembleClassifier.java:140-156)
+* factor ensemble pruning (0.92 BOSS / 0.95 BOSSVS) vs best train score
+  (Classifier.java:442-459)
+* asymmetric bag distance over test words, early-abandon tie semantics
+  (first strictly-smaller wins), the ``distance != noMatchDistance``
+  no-shared-word skip, self-skip by identity in train-vs-train
+  (BOSSEnsembleClassifier.java:182-234)
+* weighted majority vote, weight = train score, ties → larger label
+  (Classifier.java:461-507, ENSEMBLE_WEIGHTS=true Classifier.java:35)
+* BOSSVS: equi-distance window sampling with int truncation
+  (BOSSVSClassifier.java:96-102), 10-fold stratified round-robin CV
+  (Classifier.java:550-599), tf-idf in float32 with tf/idf division and
+  L2 norm (BOSSVS.java:55-150), scoring Σ freq·(tfidf+1)
+  (BOSSVSClassifier.java:210-261), normMean grid with >= keep-last
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from sfa_spark.transform import sfa as _sfa
+
+BOSS_FACTOR = 0.92
+BOSSVS_FACTOR = 0.95
+MAX_F, MIN_F_BOSS, MIN_F_BOSSVS, MAX_S = 16, 6, 4, 4
+MAX_WINDOW_LENGTH = 250
+FOLDS = 10
+
+
+# --------------------------------------------------------------------------
+# shared helpers
+# --------------------------------------------------------------------------
+
+def _windows_desc(max_len: int, min_w: int = 10) -> list[int]:
+    hi = min(MAX_WINDOW_LENGTH, max_len)
+    return list(range(hi, min_w - 1, -1))
+
+
+def _packed_words(sfa_model: _sfa.SFAModel, series: list[np.ndarray]) -> list[np.ndarray]:
+    bits = sfa_model.needed_bits
+    return [
+        _sfa.pack_words(sfa_model.transform_windowing(x), MAX_F, bits) for x in series
+    ]
+
+
+def _bags(packed: list[np.ndarray], f: int, bits: int):
+    """Numerosity-reduced bags at word length f: list of (words, counts)."""
+    out = []
+    for p in packed:
+        w = _sfa.mask_word_length(p, f, bits)
+        if w.size:
+            keep = np.concatenate(([True], w[1:] != w[:-1]))
+            w = w[keep]
+        uw, cnt = np.unique(w, return_counts=True)
+        out.append((uw, cnt.astype(np.int64)))
+        # NB: np.unique re-sorts; counts are order-insensitive so this is
+        # equivalent to the reference's hash-map accumulation
+    return out
+
+
+def _bag_matrix(bags) -> tuple[np.ndarray, dict]:
+    vocab: dict[int, int] = {}
+    for uw, _ in bags:
+        for w in uw:
+            vocab.setdefault(int(w), len(vocab))
+    mat = np.zeros((len(bags), len(vocab)), dtype=np.float64)
+    for i, (uw, cnt) in enumerate(bags):
+        for w, c in zip(uw, cnt):
+            mat[i, vocab[int(w)]] = c
+    return mat, vocab
+
+
+def _boss_1nn(test_mat: np.ndarray, train_mat: np.ndarray, train_labels: np.ndarray,
+              identity: bool) -> np.ndarray:
+    """Vectorized reference 1-NN (BOSSEnsembleClassifier.java:182-234).
+
+    D[i,j] = Σ_{w: test_i[w]>0} (tc-trc)²; neighbors with D == Σtc² (no
+    shared word) are skipped; ties keep the smallest index; identity skips
+    the diagonal. Returns predicted labels (nan when no valid neighbor).
+    """
+    mask = test_mat > 0
+    no_match = (test_mat**2).sum(axis=1)  # (n_test,)
+    d = (
+        no_match[:, None]
+        - 2.0 * test_mat @ train_mat.T
+        + mask.astype(np.float64) @ (train_mat**2).T
+    )
+    invalid = np.isclose(d, no_match[:, None])
+    if identity:
+        np.fill_diagonal(invalid, True)
+    d = np.where(invalid, np.inf, d)
+    nn = d.argmin(axis=1)  # first occurrence on ties == early-abandon rule
+    labels = train_labels[nn].astype(np.float64)
+    labels[np.isinf(d[np.arange(d.shape[0]), nn])] = np.nan
+    return labels
+
+
+def _vote(per_model: list[tuple[np.ndarray, int]], n: int) -> np.ndarray:
+    """Weighted majority vote; ties → larger label (Classifier.java:461-507)."""
+    out = np.full(n, np.nan)
+    for i in range(n):
+        counts: dict[float, int] = {}
+        for labels, weight in per_model:
+            lbl = labels[i]
+            if not np.isnan(lbl):
+                counts[lbl] = counts.get(lbl, 0) + weight
+        if counts:
+            best = max(counts.items(), key=lambda kv: (kv[1], kv[0]))
+            out[i] = best[0]
+    return out
+
+
+def accuracy(pred: np.ndarray, labels: np.ndarray) -> float:
+    ok = ~np.isnan(pred) & (pred == labels)
+    return float(ok.sum()) / len(labels)
+
+
+# --------------------------------------------------------------------------
+# BOSS ensemble
+# --------------------------------------------------------------------------
+
+@dataclass
+class BOSSMember:
+    sfa: _sfa.SFAModel
+    window: int
+    features: int
+    train_score: int
+    train_mat: np.ndarray = field(repr=False)
+    train_vocab: dict = field(repr=False)
+    train_labels: np.ndarray = field(repr=False)
+
+
+@dataclass
+class BOSSEnsemble:
+    members: list[BOSSMember]
+    norm_mean: bool
+
+
+def _member_test_matrix(member: BOSSMember, packed: list[np.ndarray]) -> np.ndarray:
+    bits = member.sfa.needed_bits
+    bags = _bags(packed, member.features, bits)
+    mat = np.zeros((len(bags), len(member.train_vocab)), dtype=np.float64)
+    extra = np.zeros(len(bags))  # test words unseen in train still add tc²
+    for i, (uw, cnt) in enumerate(bags):
+        for w, c in zip(uw, cnt):
+            j = member.train_vocab.get(int(w))
+            if j is None:
+                extra[i] += float(c) ** 2
+            else:
+                mat[i, j] = c
+    return mat, extra
+
+
+def _boss_1nn_test(member: BOSSMember, packed: list[np.ndarray]) -> np.ndarray:
+    mat, extra = _member_test_matrix(member, packed)
+    mask = mat > 0
+    base = (mat**2).sum(axis=1) + extra
+    d = (
+        base[:, None]
+        - 2.0 * mat @ member.train_mat.T
+        + mask.astype(np.float64) @ (member.train_mat**2).T
+    )
+    invalid = np.isclose(d, base[:, None])
+    d = np.where(invalid, np.inf, d)
+    nn = d.argmin(axis=1)
+    labels = member.train_labels[nn].astype(np.float64)
+    labels[np.isinf(d[np.arange(d.shape[0]), nn])] = np.nan
+    return labels
+
+
+def fit_boss_ensemble(
+    series: list[np.ndarray], labels: np.ndarray, min_window: int = 10
+) -> BOSSEnsemble:
+    labels = np.asarray(labels, dtype=np.float64)
+    max_len = max(len(s) for s in series)
+    best_ens, best_correct = None, -1
+    for norm_mean in (True, False):
+        members: list[BOSSMember] = []
+        best_train = 0
+        for w in _windows_desc(max_len, min_window):
+            sfa_model = _sfa.fit_windowing(series, w, MAX_F, MAX_S, norm_mean)
+            packed = _packed_words(sfa_model, series)
+            bits = sfa_model.needed_bits
+            m_score, m_f, m_mat, m_vocab = 0, MIN_F_BOSS, None, None
+            for f in range(MIN_F_BOSS, MAX_F + 1, 2):
+                bags = _bags(packed, f, bits)
+                mat, vocab = _bag_matrix(bags)
+                pred = _boss_1nn(mat, mat, labels, identity=True)
+                correct = int((~np.isnan(pred) & (pred == labels)).sum())
+                if correct > m_score:
+                    m_score, m_f, m_mat, m_vocab = correct, f, mat, vocab
+                    if correct == len(series):
+                        break
+            if m_mat is not None:
+                best_train = max(best_train, m_score)
+                if m_score >= best_train * BOSS_FACTOR:
+                    members.append(
+                        BOSSMember(sfa_model, w, m_f, m_score, m_mat, m_vocab, labels)
+                    )
+        members = [m for m in members if m.train_score >= best_train * BOSS_FACTOR]
+        ens = BOSSEnsemble(members, norm_mean)
+        pred = predict_boss_ensemble(ens, series)
+        correct = int((~np.isnan(pred) & (pred == labels)).sum())
+        if correct > best_correct:
+            best_correct, best_ens = correct, ens
+    return best_ens
+
+
+def predict_boss_ensemble(ens: BOSSEnsemble, series: list[np.ndarray]) -> np.ndarray:
+    per_model = []
+    for m in ens.members:
+        packed = _packed_words(m.sfa, series)
+        per_model.append((_boss_1nn_test(m, packed), m.train_score))
+    return _vote(per_model, len(series))
+
+
+# --------------------------------------------------------------------------
+# BOSS VS
+# --------------------------------------------------------------------------
+
+@dataclass
+class BOSSVSMember:
+    sfa: _sfa.SFAModel
+    window: int
+    features: int
+    train_score: int
+    class_labels: np.ndarray = field(repr=False)
+    tfidf: dict = field(repr=False)  # label → {word: float32 tfidf}
+
+
+@dataclass
+class BOSSVSEnsemble:
+    members: list[BOSSVSMember]
+    norm_mean: bool
+
+
+def _stratified_folds(labels: np.ndarray, folds: int = FOLDS) -> list[np.ndarray]:
+    """Round-robin deal per label (Classifier.java:561-599)."""
+    sets: list[list[int]] = [[] for _ in range(folds)]
+    order: dict[float, list[int]] = {}
+    for i, lbl in enumerate(labels):
+        order.setdefault(float(lbl), []).append(i)
+    for idxs in order.values():
+        for k, i in enumerate(idxs):
+            sets[k % folds].append(i)
+    return [np.array(sorted(s), dtype=int) for s in sets]
+
+
+def _tfidf(bags, labels: np.ndarray, indices: np.ndarray, uniq: np.ndarray) -> dict:
+    """BOSSVS.createTfIdf (BOSSVS.java:58-150), float32 like the reference."""
+    per_class: dict[float, dict[int, float]] = {float(l): {} for l in uniq}
+    for j in indices:
+        d = per_class[float(labels[j])]
+        uw, cnt = bags[j]
+        for w, c in zip(uw, cnt):
+            d[int(w)] = d.get(int(w), 0.0) + float(c)
+    word_class_count: dict[int, int] = {}
+    for d in per_class.values():
+        for w in d:
+            word_class_count[w] = word_class_count.get(w, 0) + 1
+    c = len(uniq)
+    for d in per_class.values():
+        for w, freq in d.items():
+            if freq > 0 and word_class_count[w] != c:
+                tf = 1.0 + np.log10(freq)
+                idf = np.log10(1.0 + c / word_class_count[w])
+                d[w] = np.float32(tf / idf)
+            else:
+                d[w] = np.float32(0.0)
+        sq = np.sqrt(sum(np.float64(v) * np.float64(v) for v in d.values()))
+        if sq > 0:
+            for w in d:
+                d[w] = np.float32(d[w] / sq)
+    return per_class
+
+
+def _bossvs_predict_bags(bags, indices, tfidf: dict) -> np.ndarray:
+    labels_sorted = sorted(tfidf)  # deterministic class order
+    out = np.full(max(indices) + 1 if len(indices) else 0, np.nan)
+    for i in indices:
+        uw, cnt = bags[i]
+        best, best_score = np.nan, 0.0
+        for lbl in labels_sorted:
+            stat = tfidf[lbl]
+            score = 0.0
+            for w, f_ in zip(uw, cnt):
+                score += float(f_) * (float(stat.get(int(w), 0.0)) + 1.0)
+            if score > best_score:
+                best_score, best = score, lbl
+        out[i] = best
+    return out
+
+
+def _bossvs_windows(max_len: int, min_w: int = 10) -> list[int]:
+    """Equi-distance sampling with Java int-truncation semantics
+    (BOSSVSClassifier.java:96-102)."""
+    count = np.sqrt(max_len)
+    distance = (max_len - min_w) / count
+    out, c = [], min_w
+    while c <= max_len:
+        out.append(c)
+        c = int(c + distance)
+    return out
+
+
+def fit_bossvs(
+    series: list[np.ndarray], labels: np.ndarray, min_window: int = 10
+) -> BOSSVSEnsemble:
+    labels = np.asarray(labels, dtype=np.float64)
+    uniq = np.unique(labels)
+    max_len = max(len(s) for s in series)
+    folds = _stratified_folds(labels)
+    all_idx = np.arange(len(series))
+    best_ens, best_correct = None, -1
+    for norm_mean in (True, False):
+        members: list[BOSSVSMember] = []
+        best_train = 0
+        for w in _bossvs_windows(max_len, min_window):
+            sfa_model = _sfa.fit_windowing(series, w, MAX_F, MAX_S, norm_mean)
+            packed = _packed_words(sfa_model, series)
+            bits = sfa_model.needed_bits
+            m_score, m_f = 0, MIN_F_BOSSVS
+            for f in range(MIN_F_BOSSVS, min(w, MAX_F) + 1, 2):
+                bags = _bags(packed, f, bits)
+                correct = 0
+                for s in range(FOLDS):
+                    test_idx = folds[s]
+                    train_idx = np.setdiff1d(all_idx, test_idx)
+                    idf = _tfidf(bags, labels, train_idx, uniq)
+                    pred = _bossvs_predict_bags(bags, test_idx, idf)
+                    correct += int(
+                        (~np.isnan(pred[test_idx]) & (pred[test_idx] == labels[test_idx])).sum()
+                    )
+                if correct > m_score:
+                    m_score, m_f = correct, f
+                    if correct == len(series):
+                        break
+            bags = _bags(packed, m_f, bits)
+            tfidf = _tfidf(bags, labels, all_idx, uniq)
+            best_train = max(best_train, m_score)
+            if m_score >= best_train * BOSSVS_FACTOR:
+                members.append(
+                    BOSSVSMember(sfa_model, w, m_f, m_score, uniq, tfidf)
+                )
+        members = [m for m in members if m.train_score >= best_train * BOSSVS_FACTOR]
+        ens = BOSSVSEnsemble(members, norm_mean)
+        pred = predict_bossvs(ens, series)
+        correct = int((~np.isnan(pred) & (pred == labels)).sum())
+        if correct >= best_correct:  # NB: >= — reference keeps the later (normMean=false) on ties
+            best_correct, best_ens = correct, ens
+    return best_ens
+
+
+def predict_bossvs(ens: BOSSVSEnsemble, series: list[np.ndarray]) -> np.ndarray:
+    per_model = []
+    idx = list(range(len(series)))
+    for m in ens.members:
+        packed = _packed_words(m.sfa, series)
+        bags = _bags(packed, m.features, m.sfa.needed_bits)
+        per_model.append((_bossvs_predict_bags(bags, idx, m.tfidf), m.train_score))
+    return _vote(per_model, len(series))
+
+
+# --------------------------------------------------------------------------
+# Spark-distributed scoring (the big-data half)
+# --------------------------------------------------------------------------
+
+def predict_boss_ensemble_df(spark, ens: BOSSEnsemble, series_df, key_col, t_col, value_col):
+    """Score a long table of test series with a fitted ensemble: the
+    ensemble is a broadcast-sized artifact; scoring is per-series
+    applyInPandas — no shuffle beyond the series grouping."""
+    import pandas as pd
+
+    bc = spark.sparkContext.broadcast(ens)
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf.sort_values(t_col)[value_col].to_numpy(dtype=np.float64)
+        pred = predict_boss_ensemble(bc.value, [x])[0]
+        return pd.DataFrame({key_col: [pdf[key_col].iloc[0]], "predicted": [pred]})
+
+    return series_df.groupBy(key_col).applyInPandas(
+        per_series, schema=f"{key_col} long, predicted double"
+    )

@@ -1,0 +1,82 @@
+"""Golden end-to-end classifier accuracies vs the reference's hard-coded
+goldens (AbstractClassifierTest.java DELTA=0.05):
+  CBF: BOSS ensemble 1.0/0.999 (BossEnsembleClassifierTest.java:18),
+       BOSS VS 1.0/0.998 (BossVSClassifierTest.java:17).
+Measured parity of this implementation: BOSS 1.0/0.9989, VS 1.0/0.9978.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from sfa_spark.classifiers import (
+    accuracy,
+    fit_boss_ensemble,
+    fit_bossvs,
+    predict_boss_ensemble,
+    predict_boss_ensemble_df,
+    predict_bossvs,
+)
+from sfa_spark.sources import load_ucr_numpy
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+DELTA = 0.05  # the reference's tolerance
+
+
+@pytest.fixture(scope="module")
+def cbf():
+    train, ytr = load_ucr_numpy(os.path.join(FIX, "CBF_TRAIN"))
+    test, yte = load_ucr_numpy(os.path.join(FIX, "CBF_TEST"))
+    return train, ytr, test, yte
+
+
+@pytest.fixture(scope="module")
+def boss_ens(cbf):
+    train, ytr, _, _ = cbf
+    return fit_boss_ensemble(train, ytr)
+
+
+def test_boss_ensemble_cbf_golden(cbf, boss_ens):
+    train, ytr, test, yte = cbf
+    assert abs(accuracy(predict_boss_ensemble(boss_ens, train), ytr) - 1.0) <= DELTA
+    assert abs(accuracy(predict_boss_ensemble(boss_ens, test), yte) - 0.999) <= DELTA
+
+
+def test_bossvs_cbf_golden(cbf):
+    train, ytr, test, yte = cbf
+    ens = fit_bossvs(train, ytr)
+    assert abs(accuracy(predict_bossvs(ens, train), ytr) - 1.0) <= DELTA
+    assert abs(accuracy(predict_bossvs(ens, test), yte) - 0.998) <= DELTA
+
+
+def test_boss_spark_scoring_matches_local(spark, cbf, boss_ens):
+    """Distributed scoring (broadcast ensemble + applyInPandas) must agree
+    with the local path exactly."""
+    train, ytr, test, yte = cbf
+    sub = test[:60]
+    rows = [
+        (i, t, float(v)) for i, s in enumerate(sub) for t, v in enumerate(s)
+    ]
+    df = spark.createDataFrame(rows, "series_id long, t int, value double")
+    got = (
+        predict_boss_ensemble_df(spark, boss_ens, df, "series_id", "t", "value")
+        .toPandas()
+        .sort_values("series_id")["predicted"]
+        .to_numpy()
+    )
+    want = predict_boss_ensemble(boss_ens, sub)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"), reason="slow golden sweep")
+def test_boss_ensemble_coffee_golden():
+    import shutil
+
+    src = "/root/reference/src/main/resources/datasets/univariate/Coffee"
+    train, ytr = load_ucr_numpy(os.path.join(src, "Coffee_TRAIN"))
+    test, yte = load_ucr_numpy(os.path.join(src, "Coffee_TEST"))
+    ens = fit_boss_ensemble(train, ytr)
+    assert abs(accuracy(predict_boss_ensemble(ens, test), yte) - 1.0) <= DELTA
