@@ -62,6 +62,91 @@ def fit_bins_equi_width(sorted_values: np.ndarray, alphabet_size: int) -> np.nda
     return first + width * np.arange(1, alphabet_size)
 
 
+def _entropy(counts: dict[float, int], total: float) -> float:
+    if total <= 0:
+        return 0.0
+    e = 0.0
+    for v in counts.values():
+        p = v / total
+        if p > 0:
+            e -= p * np.log2(p)
+    return e
+
+
+def fit_bins_info_gain(
+    values: np.ndarray, labels: np.ndarray, alphabet_size: int
+) -> np.ndarray:
+    """Information-gain binning for ONE coefficient (supervised).
+
+    Literal port of the reference RULE (SFA.java:452-556): recursive best
+    label-entropy split over the (value,label)-sorted orderline; gain
+    evaluated only where the label changes; split budget halves per
+    recursion; edge value = element[split+1].value. The reference passes
+    the ABSOLUTE index as total_c_in into the gain for recursive calls —
+    reproduced as-is (quirk).
+    """
+    order = np.lexsort((labels, values))
+    vals = np.asarray(values, dtype=np.float64)[order]
+    labs = np.asarray(labels, dtype=np.float64)[order]
+    splits: list[int] = []
+
+    def find_best_split(start: int, end: int, remaining: int) -> None:
+        total = end - start
+        if total <= 0:
+            return
+        c_in: dict[float, int] = {}
+        c_out: dict[float, int] = {}
+        for pos in range(start, end):
+            c_out[labs[pos]] = c_out.get(labs[pos], 0) + 1
+        class_entropy = _entropy(c_out, total)
+        best_gain, best_pos = -1.0, -1
+
+        def move(pos: int) -> None:
+            lbl = labs[pos]
+            c_in[lbl] = c_in.get(lbl, 0) + 1
+            c_out[lbl] -= 1
+
+        i = start
+        last_label = labs[i]
+        move(start)
+        i += 1
+        for split in range(start + 1, end - 1):
+            label = labs[i]
+            move(split)
+            i += 1
+            if label != last_label:
+                t_in = i  # reference quirk: absolute index, not count
+                t_out = total - t_in
+                gain = (
+                    class_entropy
+                    - t_in / total * _entropy(c_in, t_in)
+                    - t_out / total * _entropy(c_out, t_out)
+                )
+                if gain >= best_gain:
+                    best_gain, best_pos = gain, split
+            last_label = label
+        if best_pos > -1:
+            splits.append(best_pos)
+            remaining //= 2
+            if remaining > 1:
+                if best_pos - start > 2 and end - best_pos > 2:
+                    find_best_split(start, best_pos, remaining)
+                    find_best_split(best_pos, end, remaining)
+                elif end - best_pos > 4:
+                    find_best_split(best_pos, (end - best_pos) // 2, remaining)
+                    find_best_split((end - best_pos) // 2, end, remaining)
+                elif best_pos - start > 4:
+                    find_best_split(start, (best_pos - start) // 2, remaining)
+                    find_best_split((best_pos - start) // 2, end, remaining)
+
+    find_best_split(0, vals.size, alphabet_size)
+    edges = np.full(alphabet_size - 1, np.inf, dtype=np.float64)
+    for j, sp in enumerate(sorted(splits)[: alphabet_size - 1]):
+        if sp + 1 < vals.size:
+            edges[j] = vals[sp + 1]
+    return edges
+
+
 def quantize(approx: np.ndarray, bins: np.ndarray) -> np.ndarray:
     """(…, l) Fourier values → (…, l) symbols via per-coefficient edges.
 

@@ -157,3 +157,26 @@ def test_model_roundtrip_dict():
     model, words = fit_transform(xs, 8, 8, norm_mean=False)
     m2 = SFAModel.from_dict(json.loads(json.dumps(model.to_dict())))
     np.testing.assert_array_equal(m2.transform(xs[1]), words[1])
+
+
+def test_info_gain_binning_splits_classes():
+    # class 0 values cluster near -1, class 1 near +1 → the first IG edge
+    # must land between the clusters
+    from sfa_spark.transform.sfa import fit_bins_info_gain
+
+    rng = np.random.default_rng(4)
+    v0 = rng.normal(-1.0, 0.1, 50)
+    v1 = rng.normal(1.0, 0.1, 50)
+    values = np.concatenate([v0, v1])
+    labels = np.concatenate([np.zeros(50), np.ones(50)])
+    edges = fit_bins_info_gain(values, labels, 4)
+    finite = edges[np.isfinite(edges)]
+    # one label change in the orderline → exactly one edge, placed at the
+    # value AFTER the split point (reference rule SFA.java:463-466), i.e.
+    # just inside the class-1 cluster
+    assert finite.size == 1
+    assert 0.5 < finite[0] < 1.1
+    assert np.all(np.diff(finite) >= 0)
+    words = quantize(values[:, None], edges[None, :]).ravel()
+    assert (words[:50] == 0).all()
+    assert words[50:].mean() > 0.9  # at most the boundary points fall left
