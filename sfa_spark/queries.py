@@ -323,6 +323,48 @@ def knn_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _profile_sql(lang: str) -> str:
+    from sfa_spark.operators.textstats import _LANG_PROFILES
+
+    words = ", ".join(f"'{w}'" for w in _LANG_PROFILES[lang])
+    return f"len(list_intersect(toks, [{words}]))"
+
+
+@register(
+    "lang_id_docs",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(string_split({_NORM_TEXT_SQL}, ' ')) AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         {_profile_sql('de')} AS hde, {_profile_sql('en')} AS hen,
+         {_profile_sql('es')} AS hes, {_profile_sql('fr')} AS hfr,
+         {_profile_sql('it')} AS hit
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN greatest(hde, hen, hes, hfr, hit) = 0 THEN 'und'
+            WHEN hit = greatest(hde, hen, hes, hfr, hit) THEN 'it'
+            WHEN hfr = greatest(hde, hen, hes, hfr, hit) THEN 'fr'
+            WHEN hes = greatest(hde, hen, hes, hfr, hit) THEN 'es'
+            WHEN hen = greatest(hde, hen, hes, hfr, hit) THEN 'en'
+            ELSE 'de' END AS lang_guess
+FROM h
+""",
+)
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language-ID per document; ties break toward the
+    lexicographically larger language code in BOTH engines (Spark's
+    struct array_max vs the SQL CASE order it>fr>es>en>de)."""
+    from sfa_spark.operators.textstats import lang_id
+
+    return _documents(spark, sf_dir).select(
+        "doc_id", lang_id(F.col("text")).alias("lang_guess")
+    )
+
+
 # --- non-SQL-expressible operators: rows-only driver check ----------------
 
 @register("sfa_windowed_words_events")
