@@ -92,6 +92,36 @@ def _pack_segments(values: np.ndarray, lengths: np.ndarray) -> bytes:
     return data[: (total + 7) >> 3]
 
 
+def _pack_segments_at(
+    values: np.ndarray, lengths: np.ndarray, starts: np.ndarray, total_bits: int
+) -> bytes:
+    """Like :func:`_pack_segments` but with explicit bit offsets — segments
+    need not be contiguous; uncovered bit ranges stay 0. Lets encoders skip
+    materializing all-zero filler segments (they are already zero in the
+    output words), which for run-heavy streams removes the dominant
+    full-length temporaries."""
+    n_words = (total_bits + 63) >> 6
+    words = np.zeros(n_words, dtype=np.uint64)
+    word_idx = starts >> 6
+    inword = starts & 63
+    left = 64 - inword - lengths
+    one_word = left >= 0
+    if one_word.any():
+        np.bitwise_or.at(
+            words,
+            word_idx[one_word],
+            values[one_word] << left[one_word].astype(np.uint64),
+        )
+    two = ~one_word
+    if two.any():
+        over = (-left[two]).astype(np.uint64)
+        np.bitwise_or.at(words, word_idx[two], values[two] >> over)
+        np.bitwise_or.at(
+            words, word_idx[two] + 1, values[two] << (np.uint64(64) - over)
+        )
+    return words.byteswap().tobytes()[: (total_bits + 7) >> 3]
+
+
 class _BitReader:
     """Sequential big-endian bit reader over one Python int (read path)."""
 
@@ -119,26 +149,45 @@ def gorilla_encode(values: np.ndarray) -> bytes:
     header = np.array([n], dtype=np.uint64)
     if n == 0:
         return _pack_segments(header, np.array([64]))
+    if n == 1:
+        return _pack_segments(
+            np.concatenate([header, v]), np.array([64, 64])
+        )
     x = v[1:] ^ v[:-1]
     nz = x != 0
-    lz = np.minimum(64 - _bit_length_u64(x), 63).astype(np.uint64)
-    tz = _ctz_u64(x).astype(np.uint64)
+    # bit-position math only on the non-zero XORs — LOCF-filled series are
+    # mostly repeats, so this skips ~20 full-array passes on typical data
+    xnz = x[nz]
+    lz = np.minimum(64 - _bit_length_u64(xnz), 63).astype(np.uint64)
+    tz = _ctz_u64(xnz).astype(np.uint64)
     ml = _U64(64) - lz - tz  # meaningful bits, 1..64 where nz
+    ml_i = ml.astype(np.int64)
 
-    # two segments per delta: control+metadata, payload
-    seg_v = np.zeros((n - 1, 2), dtype=np.uint64)
-    seg_l = np.zeros((n - 1, 2), dtype=np.int64)
-    # zero-XOR: single '0' bit
-    seg_l[:, 0] = 1
-    # non-zero: '1' lz:6 ml-1:6  (13 bits) + payload
-    seg_v[nz, 0] = (_ONE << _U64(12)) | (lz[nz] << _U64(6)) | (ml[nz] - _ONE)
-    seg_l[nz, 0] = 13
-    seg_v[nz, 1] = x[nz] >> tz[nz]
-    seg_l[nz, 1] = ml[nz].astype(np.int64)
+    # explicit bit offsets: a zero-XOR delta occupies 1 zero bit, which is
+    # already zero in the output words — only the n-nz records are packed
+    extra = np.zeros(n - 1, dtype=np.int64)
+    extra[nz] = 12 + ml_i  # record width minus the shared control bit
+    off = np.empty(n - 1, dtype=np.int64)
+    off[0] = 128
+    if n > 2:
+        np.cumsum(extra[:-1] + 1, out=off[1:])
+        off[1:] += 128
+    total_bits = 128 + (n - 1) + int(extra.sum())
+    rec_off = off[nz]
 
-    all_v = np.concatenate([header, v[:1], seg_v.ravel()])
-    all_l = np.concatenate([[64, 64], seg_l.ravel()])
-    return _pack_segments(all_v, np.asarray(all_l))
+    m = xnz.size
+    seg_v = np.empty(2 + 2 * m, dtype=np.uint64)
+    seg_l = np.empty(2 + 2 * m, dtype=np.int64)
+    seg_s = np.empty(2 + 2 * m, dtype=np.int64)
+    seg_v[0], seg_l[0], seg_s[0] = _U64(n), 64, 0
+    seg_v[1], seg_l[1], seg_s[1] = v[0], 64, 64
+    seg_v[2::2] = (_ONE << _U64(12)) | (lz << _U64(6)) | (ml - _ONE)
+    seg_l[2::2] = 13
+    seg_s[2::2] = rec_off
+    seg_v[3::2] = xnz >> tz
+    seg_l[3::2] = ml_i
+    seg_s[3::2] = rec_off + 13
+    return _pack_segments_at(seg_v, seg_l, seg_s, total_bits)
 
 
 def gorilla_decode(data: bytes) -> np.ndarray:
@@ -209,6 +258,21 @@ def dod_encode(ts: np.ndarray) -> bytes:
     all_v = np.concatenate([np.array(head_v, dtype=np.uint64), seg_v.ravel()])
     all_l = np.concatenate([head_l, seg_l.ravel()])
     return _pack_segments(all_v, all_l)
+
+
+def dod_encode_dense(t0: int, step: int, n: int) -> bytes:
+    """``dod_encode(np.arange(t0, t0 + n*step, step))`` constructed
+    directly — a dense arithmetic sequence has delta-of-delta ≡ 0, so the
+    stream is the 3-word header plus n-2 zero control bits. The gap-filled
+    encode path emits exactly such sequences; this skips the whole
+    delta/bucket/bit-scatter pipeline for the timestamp half (verified
+    byte-identical in tests)."""
+    if n == 0:
+        return np.array([0], dtype=">u8").tobytes()
+    if n == 1:
+        return np.array([1, t0], dtype=">u8").tobytes()
+    head = np.array([n, t0, step], dtype=np.int64).astype(">u8").tobytes()
+    return head + bytes((n - 2 + 7) >> 3)
 
 
 def dod_decode(data: bytes) -> np.ndarray:

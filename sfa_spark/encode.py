@@ -22,7 +22,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sfa_spark.codecs import dod_decode, dod_encode, gorilla_decode, gorilla_encode
+from sfa_spark.codecs import (
+    dod_decode,
+    dod_encode,
+    dod_encode_dense,
+    gorilla_decode,
+    gorilla_encode,
+)
 from sfa_spark.rollup import TIERS
 
 
@@ -117,7 +123,11 @@ def encode_tier_blocks_gapfill(
     bucket_us = int(bucket_s) * 1_000_000
     chunk_us = bucket_us * max_block
     spark = tier_df.sparkSession
-    n_part = spark.sparkContext.defaultParallelism
+    # 4 waves of tasks per core: with one partition per core the slowest
+    # (most key-skewed) partition sets the stage wall time; smaller
+    # partitions let the scheduler smooth the variance (classic
+    # straggler mitigation — matters more the more cores there are)
+    n_part = spark.sparkContext.defaultParallelism * 4
 
     # ONE pass over the observed buckets: shuffle by key (explicit N — AQE
     # upstream may have coalesced to fewer partitions than cores), sort
@@ -143,23 +153,13 @@ def encode_tier_blocks_gapfill(
     )
 
     def encode_partition(batches):
-        chunks = list(batches)
-        if not chunks:
-            return
-        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
-        if pdf.empty:
-            return
-        # key-group boundaries over the sorted partition
-        change = np.zeros(len(pdf), dtype=bool)
-        change[0] = True
-        for c in key_cols:
-            col = pdf[c].to_numpy()
-            change[1:] |= col[1:] != col[:-1]
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], len(pdf))
-        us_all = pdf["_us"].to_numpy(dtype=np.int64)
-        v_all = pdf["_v"].to_numpy(dtype=np.float64)
-        key_arrays = [pdf[c].to_numpy() for c in key_cols]
+        # STREAMING kernel: Arrow batches are processed as they arrive —
+        # the only rows held across batches are the current key's
+        # not-yet-complete trailing block (≤max_block observed rows) plus
+        # its LOCF carry value. Memory is O(arrow_batch + max_block), NOT
+        # O(partition): a skewed key's multi-year history never sits in
+        # RAM at once. Correctness relies on the repartition+sort above —
+        # a key's rows are contiguous and time-ordered across batches.
 
         # columnar accumulators — per-block python overhead kept to appends
         acc: dict[str, list] = {c: [] for c in key_cols}
@@ -184,36 +184,110 @@ def encode_tier_blocks_gapfill(
                 v.clear()
             return out
 
-        for s, e in zip(starts, ends):
-            k_us, k_v = us_all[s:e], v_all[s:e]
-            lo, hi = int(k_us[0]), int(k_us[-1])
-            kvals = [a[s] for a in key_arrays]
-            carry_v = np.nan
-            for block_id in range(lo // chunk_us, hi // chunk_us + 1):
-                start = max(block_id * chunk_us, lo)
-                end = min(block_id * chunk_us + chunk_us - bucket_us, hi)
-                ts = np.arange(start, end + 1, bucket_us, dtype=np.int64)
-                vals = np.full(ts.size, carry_v)
+        # per-key streaming state
+        cur_key: tuple | None = None  # key tuple of the pending rows
+        pend_us = np.empty(0, dtype=np.int64)
+        pend_v = np.empty(0, dtype=np.float64)
+        started = False  # first block of cur_key already emitted?
+        next_block = 0  # next block_id to emit for cur_key
+        carry_v = np.nan  # LOCF value entering next_block
+
+        def emit_blocks(k_us, k_v, kvals, b0, b1, first_lo, hi):
+            """Encode blocks b0..b1 (inclusive) of one key. ``first_lo``
+            clamps the first-ever block's start; ``hi`` clamps the final
+            block's end (None → natural block end)."""
+            nonlocal carry_v
+            for block_id in range(b0, b1 + 1):
+                start = block_id * chunk_us
+                if first_lo is not None and block_id == b0:
+                    start = max(start, first_lo)
+                end = block_id * chunk_us + chunk_us - bucket_us
+                if hi is not None:
+                    end = min(end, hi)
+                n_ts = (end - start) // bucket_us + 1
+                vals = np.full(n_ts, carry_v)
                 j0, j1 = np.searchsorted(k_us, [start, end + 1])
                 if j1 > j0:
                     idx = (k_us[j0:j1] - start) // bucket_us
-                    scatter = np.full(ts.size, np.nan)
+                    scatter = np.full(n_ts, np.nan)
                     scatter[idx] = k_v[j0:j1]
                     seen = np.maximum.accumulate(
-                        np.where(~np.isnan(scatter), np.arange(ts.size), -1)
+                        np.where(~np.isnan(scatter), np.arange(n_ts), -1)
                     )
                     fill = seen >= 0
                     vals[fill] = scatter[seen[fill]]
-                carry_v = vals[-1] if ts.size else carry_v
+                carry_v = vals[-1] if n_ts else carry_v
                 for c, kv in zip(key_cols, kvals):
                     acc[c].append(kv)
                 acc["block_id"].append(block_id)
                 acc["start_us"].append(start)
-                acc["n"].append(ts.size)
-                acc["dod"].append(dod_encode(ts))
+                acc["n"].append(n_ts)
+                # gap-filled timestamps are a dense arithmetic sequence —
+                # their DoD stream is constructible without the generic
+                # delta/bit-scatter pipeline (byte-identical, tested)
+                acc["dod"].append(dod_encode_dense(start, bucket_us, n_ts))
                 acc["gor"].append(gorilla_encode(vals))
+
+        def finish_key():
+            """Emit all remaining blocks of cur_key (end clamped at its
+            last observation) and reset per-key state."""
+            nonlocal pend_us, pend_v, started, next_block, carry_v
+            if cur_key is not None and pend_us.size:
+                hi = int(pend_us[-1])
+                b0 = next_block if started else int(pend_us[0]) // chunk_us
+                emit_blocks(
+                    pend_us, pend_v, cur_key, b0, hi // chunk_us,
+                    None if started else int(pend_us[0]), hi,
+                )
+            pend_us = np.empty(0, dtype=np.int64)
+            pend_v = np.empty(0, dtype=np.float64)
+            started = False
+            next_block = 0
+            carry_v = np.nan
+
+        def advance_key():
+            """Emit every block of cur_key strictly before the block that
+            holds the last pending row (those can still grow); retain only
+            the trailing block's rows."""
+            nonlocal pend_us, pend_v, started, next_block
+            last_block = int(pend_us[-1]) // chunk_us
+            b0 = next_block if started else int(pend_us[0]) // chunk_us
+            if last_block > b0 or (started and last_block >= next_block):
+                if last_block - 1 >= b0:
+                    emit_blocks(
+                        pend_us, pend_v, cur_key, b0, last_block - 1,
+                        None if started else int(pend_us[0]), None,
+                    )
+                    started = True
+                cut = np.searchsorted(pend_us, last_block * chunk_us)
+                pend_us, pend_v = pend_us[cut:], pend_v[cut:]
+                next_block = last_block
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            us_all = pdf["_us"].to_numpy(dtype=np.int64)
+            v_all = pdf["_v"].to_numpy(dtype=np.float64)
+            key_arrays = [pdf[c].to_numpy() for c in key_cols]
+            change = np.zeros(len(pdf), dtype=bool)
+            change[0] = True
+            for a in key_arrays:
+                change[1:] |= a[1:] != a[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(pdf))
+            for s, e in zip(starts, ends):
+                kvals = tuple(a[s] for a in key_arrays)
+                if kvals != cur_key:
+                    finish_key()
+                    cur_key = kvals
+                    pend_us, pend_v = us_all[s:e].copy(), v_all[s:e].copy()
+                else:
+                    pend_us = np.concatenate([pend_us, us_all[s:e]])
+                    pend_v = np.concatenate([pend_v, v_all[s:e]])
+                advance_key()
                 if len(acc["n"]) >= 4096:
                     yield flush()
+        finish_key()
         if acc["n"]:
             yield flush()
 
@@ -229,18 +303,23 @@ def decode_blocks(blocks_df: DataFrame, key_cols: list[str] | str) -> DataFrame:
 
     def per_batch(batches):
         for pdf in batches:
-            outs = []
-            for _, row in pdf.iterrows():
-                ts = dod_decode(bytes(row["dod_blob"]))
-                vals = gorilla_decode(bytes(row["gorilla_blob"]))
-                out = pd.DataFrame(
-                    {"bucket_ts": pd.to_datetime(ts, unit="us"), "value": vals}
-                )
-                for c in key_cols:
-                    out[c] = row[c]
-                outs.append(out[[*key_cols, "bucket_ts", "value"]])
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+            # one decode call per BLOCK (a block is already a 4k-point
+            # batch), then a single vectorized repeat/concat per Arrow
+            # batch — no per-row pandas iteration
+            ts_parts = [dod_decode(bytes(b)) for b in pdf["dod_blob"]]
+            v_parts = [gorilla_decode(bytes(b)) for b in pdf["gorilla_blob"]]
+            if not ts_parts:
+                continue
+            lens = np.array([t.size for t in ts_parts])
+            out = pd.DataFrame(
+                {
+                    "bucket_ts": pd.to_datetime(np.concatenate(ts_parts), unit="us"),
+                    "value": np.concatenate(v_parts),
+                }
+            )
+            for c in key_cols:
+                out[c] = np.repeat(pdf[c].to_numpy(), lens)
+            yield out[[*key_cols, "bucket_ts", "value"]]
 
     return blocks_df.mapInPandas(
         per_batch, schema=f"{key_schema}, bucket_ts timestamp, value double"

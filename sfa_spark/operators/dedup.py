@@ -65,15 +65,18 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Distinct k-character shingle hashes (int64) of one document."""
+    """Distinct k-character shingle hashes (int64) of one document.
+
+    Fully deterministic across processes/executors: texts shorter than k
+    are zero-padded to one k-byte window and go through the same FNV-style
+    byte path (python's builtin ``hash`` is seed-randomized per process —
+    using it would make signatures differ between executors)."""
     t = text.lower()
-    if len(t) < k:
-        return np.array([hash(t) & 0x7FFFFFFFFFFFFFFF], dtype=np.uint64)
     b = t.encode("utf-8", "ignore")
     # byte-level shingles via stride tricks + polynomial-free hashing:
     arr = np.frombuffer(b, dtype=np.uint8)
     if arr.size < k:
-        return np.array([hash(t) & 0x7FFFFFFFFFFFFFFF], dtype=np.uint64)
+        arr = np.concatenate([arr, np.zeros(k - arr.size, dtype=np.uint8)])
     win = np.lib.stride_tricks.sliding_window_view(arr, k).astype(np.uint64)
     mult = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)  # FNV-ish
     hashes = (win * mult[None, :]).sum(axis=1)
@@ -113,13 +116,24 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    sigs: DataFrame, id_col: str = "doc_id", bands: int = 16, rows_per_band: int = 4
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int | None = 500,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs sharing any band bucket.
 
     The classic LSH shape: explode to (band, bucket-hash) rows, self-join
     within buckets, dedup pairs. Bucket join is a hash join on
     (band, bucket); within-bucket pair counts bound the quadratic work.
+
+    Degenerate buckets (boilerplate/empty-doc clusters — a bucket of B
+    docs yields B² candidate pairs, quadratic blow-up at web scale) are
+    dropped when larger than ``max_bucket``: identical texts are already
+    caught by :func:`exact_dedup`, and a >max_bucket near-dup cluster is
+    boilerplate by definition. The drop is an anti-join against the small
+    set of oversized (band, bucket) keys, so no skewed shuffle either.
     """
     banded = sigs.select(
         id_col,
@@ -132,6 +146,17 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
+    if max_bucket is not None:
+        oversized = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") > max_bucket)
+        )
+        banded = banded.join(
+            F.broadcast(oversized.select("band", "bucket")),
+            ["band", "bucket"],
+            "left_anti",
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -177,10 +202,11 @@ def minhash_lsh_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    max_bucket: int | None = 500,
 ) -> DataFrame:
     """Near-duplicate pairs above an estimated-Jaccard threshold."""
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
-    cand = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands)
+    cand = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands, max_bucket)
     est = minhash_jaccard_estimate(sigs, cand, id_col)
     return est.filter(F.col("jaccard_est") >= threshold)
 
@@ -220,6 +246,7 @@ def simhash_dedup(
     text_col: str = "text",
     max_hamming: int = 3,
     shingle_k: int = 5,
+    max_bucket: int | None = 500,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
@@ -227,6 +254,9 @@ def simhash_dedup(
     (max_hamming+1) chunks — a pair within the hamming budget must agree
     exactly on at least one chunk (pigeonhole) — then verify with
     bit_count. Equi-join on (chunk_idx, chunk_value): no cross join.
+    Degenerate (chunk_idx, chunk_val) buckets above ``max_bucket`` are
+    dropped like in :func:`minhash_lsh_candidates` — quadratic-bucket
+    guard for boilerplate clusters.
     """
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
@@ -244,6 +274,17 @@ def simhash_dedup(
         "simhash",
         F.posexplode(chunk_vals).alias("chunk_idx", "chunk_val"),
     )
+    if max_bucket is not None:
+        oversized = (
+            chunks.groupBy("chunk_idx", "chunk_val")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") > max_bucket)
+        )
+        chunks = chunks.join(
+            F.broadcast(oversized.select("chunk_idx", "chunk_val")),
+            ["chunk_idx", "chunk_val"],
+            "left_anti",
+        )
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(

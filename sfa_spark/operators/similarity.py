@@ -103,8 +103,11 @@ def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarra
     return rng.standard_normal((n_tables, n_planes, dim))
 
 
-def _bucket_col(vec_col, planes: np.ndarray):
-    """Signed-projection bucket id per table: bit i = sign(v·h_i)."""
+def _bucket_col_expr(vec_col, planes: np.ndarray):
+    """Signed-projection bucket id per table, as Catalyst expressions:
+    bit i = sign(v·h_i). Builds dim×n_planes×n_tables literal nodes —
+    fine for toy dims, pathological at real 768-dim embeddings; kept as
+    the oracle for the pandas implementation below."""
     n_tables, n_planes, _ = planes.shape
     buckets = []
     for t in range(n_tables):
@@ -125,6 +128,38 @@ def _bucket_col(vec_col, planes: np.ndarray):
     return F.array(*buckets)
 
 
+def _bucket_udf(planes: np.ndarray):
+    """Signed-projection buckets as ONE Arrow-vectorized pandas UDF: a
+    single (batch × dim) @ (dim × tables·planes) BLAS matmul per batch
+    with the plane matrix held in the UDF closure (broadcast with the
+    task). Plan size is O(1) in dim — the scale path for 768-dim
+    embeddings where the expression form builds a ~37k-node Catalyst
+    tree per table."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_tables, n_planes, dim = planes.shape
+    mat = np.ascontiguousarray(planes.reshape(n_tables * n_planes, dim).T)
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def bucketize(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        vm = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        proj = vm @ mat  # (n, tables*planes)
+        bits = (proj > 0).reshape(len(vm), n_tables, n_planes)
+        ids = (bits * weights[None, None, :]).sum(axis=2)
+        return pd.Series(list(ids))
+
+    return bucketize
+
+
+def _bucket_col(vec_col, planes: np.ndarray, impl: str = "pandas"):
+    if impl == "expr":
+        return _bucket_col_expr(vec_col, planes)
+    return _bucket_udf(planes)(vec_col)
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -135,18 +170,21 @@ def lsh_topk(
     n_planes: int = 12,
     n_tables: int = 4,
     seed: int = 7,
+    bucket_impl: str = "pandas",
 ) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane buckets → candidate
     join → exact re-score. Probes ~|corpus|/2^n_planes per table."""
     dim = len(emb.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
     c = with_unit_vectors(emb, vec_col, "_cu").select(
-        id_col, "_cu", F.posexplode(_bucket_col(F.col("_cu"), planes)).alias("_t", "_b")
+        id_col,
+        "_cu",
+        F.posexplode(_bucket_col(F.col("_cu"), planes, bucket_impl)).alias("_t", "_b"),
     )
     q = with_unit_vectors(queries, vec_col, "_qu").select(
         query_id_col,
         "_qu",
-        F.posexplode(_bucket_col(F.col("_qu"), planes)).alias("_t", "_b"),
+        F.posexplode(_bucket_col(F.col("_qu"), planes, bucket_impl)).alias("_t", "_b"),
     )
     cand = (
         c.join(F.broadcast(q), ["_t", "_b"])
@@ -172,14 +210,28 @@ def cosine_near_dup(
     n_planes: int = 10,
     n_tables: int = 3,
     seed: int = 7,
+    bucket_impl: str = "pandas",
+    max_bucket: int | None = 500,
 ) -> DataFrame:
     """All-pairs near-duplicates by cosine ≥ threshold, LSH-bucketed
-    (embedding flavor of near-dedup)."""
+    (embedding flavor of near-dedup). Buckets larger than ``max_bucket``
+    are dropped (quadratic-bucket guard, see minhash_lsh_candidates)."""
     dim = len(emb.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
     u = with_unit_vectors(emb, vec_col, "_u").select(
-        id_col, "_u", F.posexplode(_bucket_col(F.col("_u"), planes)).alias("_t", "_b")
+        id_col,
+        "_u",
+        F.posexplode(_bucket_col(F.col("_u"), planes, bucket_impl)).alias("_t", "_b"),
     )
+    if max_bucket is not None:
+        oversized = (
+            u.groupBy("_t", "_b")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") > max_bucket)
+        )
+        u = u.join(
+            F.broadcast(oversized.select("_t", "_b")), ["_t", "_b"], "left_anti"
+        )
     a, b = u.alias("a"), u.alias("b")
     cand = (
         a.join(

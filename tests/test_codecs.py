@@ -98,3 +98,14 @@ def test_hypothesis_roundtrip():
 
     inner_vals()
     inner_ts()
+
+
+def test_dod_encode_dense_byte_identical():
+    import numpy as np
+
+    from sfa_spark.codecs import dod_encode, dod_encode_dense
+
+    for t0, step, n in [(0, 60_000_000, 0), (5, 1, 1), (5, 7, 2), (1_600_000_000_000_000, 60_000_000, 3),
+                        (123, 60_000_000, 4096), (-50, 3, 17)]:
+        ts = t0 + step * np.arange(n, dtype=np.int64)
+        assert dod_encode_dense(t0, step, n) == dod_encode(ts), (t0, step, n)

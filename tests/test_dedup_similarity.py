@@ -157,3 +157,87 @@ def test_cosine_near_dup_planted(spark, embeddings):
     pairs = set(zip(found["id_a"], found["id_b"]))
     hits = sum((i, i + 5000) in pairs for i in range(4))
     assert hits >= 3
+
+
+def test_shingle_hashes_deterministic_across_hash_seeds():
+    """Signatures must be identical under different PYTHONHASHSEED values
+    (executors run with independent interpreter seeds)."""
+    import subprocess
+    import sys
+
+    prog = (
+        "import sys; sys.path.insert(0, '/root/repo');"
+        "from sfa_spark.operators.dedup import _shingle_hashes;"
+        "print([_shingle_hashes(t, 5).tolist() for t in ['ab', '', 'abcd', 'hello world', 'x'*4]])"
+    )
+    outs = set()
+    for seed in ("0", "12345"):
+        r = subprocess.run(
+            [sys.executable, "-c", prog],
+            capture_output=True, text=True,
+            env={"PYTHONHASHSEED": seed, "PATH": "/usr/bin:/bin"},
+        )
+        assert r.returncode == 0, r.stderr
+        outs.add(r.stdout.strip())
+    assert len(outs) == 1, "shingle hashes differ across PYTHONHASHSEED"
+
+
+def test_minhash_degenerate_bucket_capped(spark):
+    """10k identical docs: without the cap the bucket join is 10k² pairs;
+    with it the candidate count must stay bounded (0 from the boilerplate
+    cluster — exact_dedup owns identical text)."""
+    from sfa_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated everywhere").alias("text"),
+    )
+    pairs = minhash_lsh_dedup(docs, max_bucket=500)
+    assert pairs.count() == 0
+
+
+def test_simhash_degenerate_bucket_capped(spark):
+    from sfa_spark.operators.dedup import simhash_dedup
+
+    docs = spark.range(5_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated everywhere").alias("text"),
+    )
+    assert simhash_dedup(docs, max_bucket=300).count() == 0
+
+
+def test_lsh_bucket_pandas_matches_expr(spark, embeddings):
+    """The pandas bucketizer must assign identical (table, bucket) ids to
+    the O(dim)-literal expression version on the test embeddings."""
+    from sfa_spark.operators.similarity import (
+        _bucket_col,
+        _hyperplanes,
+        with_unit_vectors,
+    )
+
+    dim = len(embeddings.select("embedding").first()[0])
+    planes = _hyperplanes(dim, 8, 3, seed=11)
+    u = with_unit_vectors(embeddings, "embedding", "_u")
+    a = u.select("vec_id", _bucket_col(F.col("_u"), planes, "expr").alias("b")).toPandas()
+    b = u.select("vec_id", _bucket_col(F.col("_u"), planes, "pandas").alias("b")).toPandas()
+    a = a.sort_values("vec_id").reset_index(drop=True)
+    b = b.sort_values("vec_id").reset_index(drop=True)
+    assert all(list(x) == list(y) for x, y in zip(a["b"], b["b"]))
+
+
+def test_lsh_bucket_pandas_wide_vectors_bounded_plan(spark):
+    """256-dim embeddings: the pandas bucketizer's plan stays O(1) in dim
+    (the expression version would build ~80k literal nodes here)."""
+    import numpy as np
+
+    from sfa_spark.operators.similarity import _bucket_col, _hyperplanes
+
+    rng = np.random.default_rng(3)
+    pdf = [(int(i), rng.standard_normal(256).astype(float).tolist()) for i in range(50)]
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    planes = _hyperplanes(256, 16, 4, seed=5)
+    out = df.select("vec_id", _bucket_col(F.col("embedding"), planes, "pandas").alias("b"))
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 20_000, f"plan unexpectedly large: {len(plan)} chars"
+    rows = out.collect()
+    assert len(rows) == 50 and all(len(r["b"]) == 4 for r in rows)

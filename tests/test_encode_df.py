@@ -64,3 +64,28 @@ def test_fused_gapfill_encode_byte_identical(spark, events):
     assert (fused["n"].values == unfused["n"].values).all()
     assert all(bytes(a) == bytes(b) for a, b in zip(fused["dod_blob"], unfused["dod_blob"]))
     assert all(bytes(a) == bytes(b) for a, b in zip(fused["gorilla_blob"], unfused["gorilla_blob"]))
+
+
+def test_fused_encode_streams_across_arrow_batches(spark, events):
+    """The streaming encoder keeps only the trailing block across Arrow
+    batches; with a tiny maxRecordsPerBatch every key spans many batches
+    and the output must still be byte-identical to the unfused path."""
+    from sfa_spark.encode import encode_tier_blocks_gapfill
+
+    t1h = rollup_tier(events, ["user_id"], "ts", "value", "1h")
+    unfused = encode_tier_blocks(
+        gap_fill_locf(t1h, ["user_id"], "1h"), "user_id", tier="1h", max_block=16
+    ).toPandas().sort_values(["user_id", "block_id"]).reset_index(drop=True)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        fused = encode_tier_blocks_gapfill(
+            t1h, "user_id", tier="1h", max_block=16
+        ).toPandas().sort_values(["user_id", "block_id"]).reset_index(drop=True)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert len(fused) == len(unfused)
+    assert (fused["block_id"].values == unfused["block_id"].values).all()
+    assert (fused["n"].values == unfused["n"].values).all()
+    assert all(bytes(a) == bytes(b) for a, b in zip(fused["dod_blob"], unfused["dod_blob"]))
+    assert all(bytes(a) == bytes(b) for a, b in zip(fused["gorilla_blob"], unfused["gorilla_blob"]))
