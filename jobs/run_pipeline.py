@@ -33,7 +33,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from sfa_spark.encode import encode_tier_blocks_gapfill
-    from sfa_spark.incremental import refresh_tier
+    from sfa_spark.incremental import read_tier, refresh_tier
     from sfa_spark.pipeline import signals_long
     from sfa_spark.session import get_spark
 
@@ -50,21 +50,33 @@ def main() -> None:
         "series_key", F.xxhash64("url", "signal")
     )
 
+    # tier CASCADE: only the finest tier reads raw signals; each coarser
+    # tier re-aggregates the previous tier's committed snapshot — one raw
+    # scan total, not one per tier
     report: dict = {"tiers": {}}
+    prev_root = None
     for tier in args.tiers:
         root = os.path.join(args.out, f"tier_{tier}")
-        r = refresh_tier(
-            spark, signals, root, ["series_key"], "warc_ts", "value", tier=tier,
-            job=f"pipeline_{tier}",
-        )
+        if prev_root is None:
+            r = refresh_tier(
+                spark, signals, root, ["series_key"], "warc_ts", "value",
+                tier=tier, job=f"pipeline_{tier}",
+            )
+        else:
+            finer = read_tier(spark, prev_root)
+            r = refresh_tier(
+                spark, finer, root, ["series_key"], "bucket_ts", "value",
+                tier=tier, job=f"pipeline_{tier}", source="tier",
+            )
+        prev_root = root
         report["tiers"][tier] = {
             "snapshot": r["snapshot"],
             "processed_days": len(r["processed"]),
             "skipped_days": len(r["skipped"]),
+            "stale_days": len(r.get("stale", [])),
         }
 
     # encode the finest tier from its committed snapshot
-    from sfa_spark.incremental import read_tier
 
     finest = args.tiers[0]
     tier_df = read_tier(spark, os.path.join(args.out, f"tier_{finest}"))

@@ -104,7 +104,11 @@ def _boss_1nn(test_mat: np.ndarray, train_mat: np.ndarray, train_labels: np.ndar
         - 2.0 * test_mat @ train_mat.T
         + mask.astype(np.float64) @ (train_mat**2).T
     )
-    invalid = np.isclose(d, no_match[:, None])
+    # exact equality, not isclose: counts are integers, so d and no_match
+    # are exact in float64 (reference: distance != noMatchDistance,
+    # BOSSEnsembleClassifier.java:219); a tolerance would wrongly skip a
+    # genuinely near neighbor once bag magnitudes reach ~1e5
+    invalid = d == no_match[:, None]
     if identity:
         np.fill_diagonal(invalid, True)
     d = np.where(invalid, np.inf, d)
@@ -179,7 +183,7 @@ def _boss_1nn_test(member: BOSSMember, packed: list[np.ndarray]) -> np.ndarray:
         - 2.0 * mat @ member.train_mat.T
         + mask.astype(np.float64) @ (member.train_mat**2).T
     )
-    invalid = np.isclose(d, base[:, None])
+    invalid = d == base[:, None]  # exact: see _boss_1nn
     d = np.where(invalid, np.inf, d)
     nn = d.argmin(axis=1)
     labels = member.train_labels[nn].astype(np.float64)

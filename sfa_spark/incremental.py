@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sfa_spark.rollup import rollup_tier
+from sfa_spark.rollup import reaggregate, rollup_tier
 from sfa_spark.tableio import TableIO
 
 
@@ -38,26 +38,58 @@ def refresh_tier(
     value_col: str,
     tier: str = "1h",
     job: str = "refresh",
+    source: str = "raw",
+    recompute_stale: bool = True,
 ) -> dict:
     """Incrementally roll up ``events`` into the tier table at
-    ``table_root``. Returns {planned, processed, skipped, snapshot}."""
+    ``table_root``. Returns {planned, processed, skipped, stale, snapshot}.
+
+    ``source="raw"`` aggregates raw points (:func:`rollup_tier`);
+    ``source="tier"`` re-aggregates a FINER tier table
+    (:func:`reaggregate`) — the cascade path: 1h refreshes from the
+    committed 1m snapshot, 1d from 1h, so raw data is scanned exactly
+    once per refresh across all tiers.
+
+    Late-data detection: each commit records the per-day input row count
+    (``input_rows_by_day``, cumulative across the lineage). A planned day
+    that is already committed but whose incoming row count differs is
+    **stale** — late-arriving rows landed in a closed day. With
+    ``recompute_stale`` (default) its partition is recomputed in place
+    (day partitions are closed, independently-recomputable units);
+    otherwise it is only surfaced in the returned dict.
+    """
     tio = TableIO(table_root)
-    planned = [
-        str(r["dt"])
-        for r in events.select(F.to_date(ts_col).alias("dt")).distinct().collect()
-    ]
-    missing = tio.missing_partitions(planned)
-    if not missing:
+    per_day = {
+        str(r["dt"]): r["n"]
+        for r in events.groupBy(F.to_date(ts_col).alias("dt"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    planned = sorted(per_day)
+    missing = set(tio.missing_partitions(planned))
+    prev_counts = (tio.manifest() or {}).get("metrics", {}).get(
+        "input_rows_by_day", {}
+    )
+    stale = sorted(
+        d
+        for d in planned
+        if d not in missing and d in prev_counts and prev_counts[d] != per_day[d]
+    )
+    to_process = sorted(missing | set(stale)) if recompute_stale else sorted(missing)
+    if not to_process:
         return {
-            "planned": sorted(planned),
+            "planned": planned,
             "processed": [],
-            "skipped": sorted(planned),
+            "skipped": planned,
+            "stale": stale,
             "snapshot": tio.current_snapshot(),
         }
-    slice_df = events.filter(F.to_date(ts_col).isin(missing))
-    tier_df = rollup_tier(slice_df, key_cols, ts_col, value_col, tier).withColumn(
-        "dt", F.to_date("bucket_ts")
-    )
+    slice_df = events.filter(F.to_date(ts_col).isin(to_process))
+    if source == "tier":
+        agg_df = reaggregate(slice_df, key_cols, tier)
+    else:
+        agg_df = rollup_tier(slice_df, key_cols, ts_col, value_col, tier)
+    tier_df = agg_df.withColumn("dt", F.to_date("bucket_ts"))
     rows_by_day = {
         str(r["dt"]): r["n"]
         for r in tier_df.groupBy("dt").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -66,12 +98,20 @@ def refresh_tier(
         tier_df,
         "dt",
         job=job,
-        metrics={"tier": tier, "rollup_rows_by_day": rows_by_day},
+        metrics={
+            "tier": tier,
+            "rollup_rows_by_day": rows_by_day,
+            "input_rows_by_day": {
+                **prev_counts,
+                **{d: per_day[d] for d in to_process},
+            },
+        },
     )
     return {
-        "planned": sorted(planned),
-        "processed": sorted(missing),
-        "skipped": sorted(set(planned) - set(missing)),
+        "planned": planned,
+        "processed": to_process,
+        "skipped": sorted(set(planned) - set(to_process)),
+        "stale": stale,
         "snapshot": snap,
     }
 

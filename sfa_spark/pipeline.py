@@ -134,6 +134,13 @@ def sfa_downsample_words(
         .withColumn("series_id", F.xxhash64("url", "signal"))
         .select("series_id", "url", "signal", "t", F.col("last").alias("value"))
     )
+    # the fit stage materializes `series` eagerly (bin edges are collected
+    # and broadcast) and the transform stage reads it again — persist so
+    # the upstream tier cascade + LOCF window compute once, not twice.
+    # (fit is the heaviest bench query's dominant cost otherwise.)
+    # (not unpersisted here: the returned plan still reads it — Spark's
+    # LRU storage eviction reclaims the blocks once the job is done)
+    series = series.persist()
     model = fit_windowing_df(
         series, "series_id", "t", "value",
         window_size, word_length, alphabet_size, norm_mean=True,

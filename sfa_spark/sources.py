@@ -28,11 +28,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def load_ucr(spark: SparkSession, path: str) -> DataFrame:
+def load_ucr(spark: SparkSession, path: str, norm: bool = True) -> DataFrame:
     """UCR file → long DataFrame (sample_id, label, t, value).
 
     NaN tokens are dropped *before* positions are assigned, exactly like
     the reference (values compact left; ragged lengths possible).
+    ``norm`` z-normalizes each sample at load (reference
+    TimeSeriesLoader.java:71 under APPLY_Z_NORM; σ=0 → divide 1) via a
+    per-sample window aggregate — stays JVM-side.
     """
     lines = (
         spark.read.text(path)
@@ -53,16 +56,33 @@ def load_ucr(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     w = W.partitionBy("sample_id").orderBy("raw_t")
-    return kept.select(
+    out = kept.select(
         "sample_id",
         "label",
         (F.row_number().over(w) - 1).alias("t"),
         F.col("v").alias("value"),
     )
+    if norm:
+        ws = W.partitionBy("sample_id")
+        mu = F.avg("value").over(ws)
+        sd = F.stddev_pop("value").over(ws)
+        out = out.withColumn(
+            "value",
+            (F.col("value") - mu) / F.when(sd > 0, sd).otherwise(F.lit(1.0)),
+        )
+    return out
 
 
-def load_ucr_numpy(path: str) -> tuple[list[np.ndarray], np.ndarray]:
-    """Driver-side UCR loader for small fixtures / kernel tests."""
+def load_ucr_numpy(
+    path: str, norm: bool = True
+) -> tuple[list[np.ndarray], np.ndarray]:
+    """Driver-side UCR loader for small fixtures / kernel tests.
+
+    ``norm`` z-normalizes each series at load, like the reference
+    (TimeSeriesLoader.java:71 ``ts.norm()`` under APPLY_Z_NORM=true,
+    TimeSeries.java:19): subtract mean, divide σ (σ=0 → divide 1). Without
+    it the normMean=false half of every classifier grid would keep a DC
+    coefficient the reference never sees."""
     series, labels = [], []
     with open(path) as f:
         for line in f:
@@ -79,7 +99,12 @@ def load_ucr_numpy(path: str) -> tuple[list[np.ndarray], np.ndarray]:
                     continue
                 if not np.isnan(v):
                     vals.append(v)
-            series.append(np.asarray(vals, dtype=np.float64))
+            x = np.asarray(vals, dtype=np.float64)
+            if norm and x.size:
+                from sfa_spark.transform.mft import znorm
+
+                x = znorm(x, norm_mean=True)
+            series.append(x)
     return series, np.asarray(labels)
 
 

@@ -30,6 +30,7 @@ from sfa_spark.transform import mft as _mft
 
 EQUI_DEPTH = "EQUI_DEPTH"
 EQUI_FREQUENCY = "EQUI_FREQUENCY"  # reference quirk: dispatches equi-WIDTH
+INFORMATION_GAIN = "INFORMATION_GAIN"  # supervised (SFASupervised default)
 
 
 def fit_bins_equi_depth(sorted_values: np.ndarray, alphabet_size: int) -> np.ndarray:
@@ -194,7 +195,16 @@ class SFAModel:
 
     @property
     def needed_bits(self) -> int:
-        return int(self.alphabet_size - 1).bit_length()
+        # reference parity: Words.binlog(alphabetSize) = floor(log2 α)
+        # (Classifier.java:125-144) — for non-power-of-2 alphabets this
+        # under-allocates bits (reference quirk, e.g. α=6 → 2 bits cannot
+        # hold symbols 4-5); all shipped configs use powers of 2, asserted
+        # so the quirk can't silently corrupt packed words here
+        assert self.alphabet_size & (self.alphabet_size - 1) == 0, (
+            "non-power-of-2 alphabet would corrupt packed words "
+            "(reference binlog quirk)"
+        )
+        return self.alphabet_size.bit_length() - 1
 
     def to_dict(self) -> dict:
         d = self.__dict__.copy()

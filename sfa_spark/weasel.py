@@ -50,7 +50,12 @@ def _fit_supervised_windowing(
     series: list[np.ndarray], labels: np.ndarray, window: int, norm_mean: bool
 ) -> SupervisedSFAModel:
     """SFASupervised.fitWindowing: disjoint windows (labels inherited) →
-    full-window-length DFT fit → ANOVA-F top-maxF coefficients."""
+    full-window-length DFT fit → ANOVA-F top-maxF coefficients.
+
+    Reference parity: SFASupervised hard-codes INFORMATION_GAIN binning
+    (SFASupervised.java:29) and lowerBounding=false (SFASupervised.java:24,
+    WEASELClassifier.java:157 also passes false), so the supervised bins
+    are label-entropy splits over UN-normed Fourier values."""
     wins, wlabels = [], []
     for s, lbl in zip(series, labels):
         for wd in _sfa.disjoint_windows(s, window):
@@ -61,12 +66,12 @@ def _fit_supervised_windowing(
         wlabels = list(labels)
     wlabels = np.asarray(wlabels, dtype=np.float64)
     approx = np.stack(
-        [_mft.transform(w, window, window, norm_mean, True) for w in wins]
+        [_mft.transform(w, window, window, norm_mean, False) for w in wins]
     )
     rounded = np.round(approx * 100.0) / 100.0
     bins = np.stack(
         [
-            _sfa.fit_bins_equi_depth(np.sort(rounded[:, i]), MAX_S)
+            _sfa.fit_bins_info_gain(rounded[:, i], wlabels, MAX_S)
             for i in range(window)
         ]
     )
@@ -74,8 +79,9 @@ def _fit_supervised_windowing(
         word_length=window,
         alphabet_size=MAX_S,
         norm_mean=norm_mean,
-        lower_bounding=True,
+        lower_bounding=False,
         window_size=window,
+        histogram_type=_sfa.INFORMATION_GAIN,
         bins=bins,
     )
     f = f_oneway(approx, wlabels)

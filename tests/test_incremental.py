@@ -60,3 +60,78 @@ def test_incremental_refresh_and_resume(spark, events, tmp_path):
     chain = TableIO(root).lineage()
     assert len(chain) == 2
     assert all("rollup_rows_by_day" in m["metrics"] for m in chain)
+
+
+def test_late_data_detected_and_recomputed(spark, events, tmp_path):
+    """A committed day receiving late rows must be flagged stale and
+    recomputed — not silently dropped."""
+    root = str(tmp_path / "tier_late")
+    days = sorted(
+        str(r["dt"]) for r in events.select(F.to_date("ts").alias("dt")).distinct().collect()
+    )
+    target = days[0]
+    # drop half the target day's rows, commit
+    partial = events.filter(
+        (F.to_date("ts") != target) | (F.xxhash64("event_id") % 2 == 0)
+    )
+    r1 = refresh_tier(spark, partial, root, KEY, "ts", "value")
+    assert target in r1["processed"]
+
+    # late rows arrive: full input. target day row count differs -> stale
+    r2 = refresh_tier(spark, events, root, KEY, "ts", "value")
+    assert r2["stale"] == [target]
+    assert target in r2["processed"]
+
+    # the table now equals a one-shot recompute of the full input
+    got = (
+        read_tier(spark, root)
+        .groupBy()
+        .agg(F.sum("n").alias("pts"))
+        .collect()[0]["pts"]
+    )
+    want = (
+        rollup_tier(events, KEY, "ts", "value", "1h")
+        .groupBy()
+        .agg(F.sum("n").alias("pts"))
+        .collect()[0]["pts"]
+    )
+    assert got == want
+
+    # detection only (recompute_stale=False) surfaces without processing
+    partial2 = events.filter(
+        (F.to_date("ts") != target) | (F.xxhash64("event_id") % 4 == 0)
+    )
+    r3 = refresh_tier(spark, partial2, root, KEY, "ts", "value", recompute_stale=False)
+    assert r3["stale"] == [target] and r3["processed"] == []
+
+
+def test_tier_cascade_from_committed_snapshot(spark, events, tmp_path):
+    """1h refreshed FROM the committed 1m table (source='tier') must equal
+    the direct raw->1h rollup exactly."""
+    import numpy as np
+
+    root_1m = str(tmp_path / "casc_1m")
+    root_1h = str(tmp_path / "casc_1h")
+    refresh_tier(spark, events, root_1m, KEY, "ts", "value", tier="1m")
+    t1m = read_tier(spark, root_1m)
+    refresh_tier(
+        spark, t1m, root_1h, KEY, "bucket_ts", "value", tier="1h", source="tier"
+    )
+    got = (
+        read_tier(spark, root_1h)
+        .select("user_id", "bucket_ts", "n", "sum", "min", "max", "first", "last")
+        .toPandas()
+        .sort_values(["user_id", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    want = (
+        rollup_tier(events, KEY, "ts", "value", "1h")
+        .toPandas()
+        .sort_values(["user_id", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["n"].values == want["n"].values).all()
+    for c in ("min", "max", "first", "last"):
+        np.testing.assert_array_equal(got[c].values, want[c].values)
+    np.testing.assert_allclose(got["sum"].values, want["sum"].values, rtol=1e-12)
