@@ -365,7 +365,219 @@ def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "exact_dup_groups",
+    f"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
+),
+h AS (SELECT doc_id, {_NORM_TEXT_SQL} AS k FROM docs2),
+g AS (SELECT k, min(doc_id) AS keeper_id FROM h GROUP BY k)
+SELECT g.keeper_id, h.doc_id AS dup_id
+FROM h JOIN g USING (k) WHERE h.doc_id <> g.keeper_id
+""",
+)
+def exact_dup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(keeper, dup) pairs — the testdata has no identical texts, so the
+    query unions in a doc_id-shifted copy of every third document (same
+    construction on both sides) so the group logic is actually exercised."""
+    from sfa_spark.operators.dedup import exact_dup_groups
+
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    seeded = d.unionAll(
+        d.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    return exact_dup_groups(seeded)
+
+
+_STOP_SQL = None  # filled below from the python stopword set
+
+
+def _stopwords_sql() -> str:
+    from sfa_spark.operators.textstats import _STOPWORDS_EN
+
+    return "[" + ", ".join(f"'{w}'" for w in sorted(_STOPWORDS_EN)) + "]"
+
+
+@register(
+    "quality_docs",
+    f"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split({_NORM_TEXT_SQL}, ' ') AS toks,
+         length(text) AS n_chars
+  FROM documents
+), f AS (
+  SELECT doc_id, n_chars, len(toks) AS n_tokens,
+         length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+             / greatest(n_chars, 1) AS punct_ratio,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))
+             / greatest(n_chars, 1) AS digit_ratio,
+         len(list_filter(toks, w -> list_contains({{STOPS}}, w)))
+             / greatest(len(toks), 1) AS stopword_ratio,
+         n_chars / greatest(len(toks), 1) AS mean_word_len,
+         len(list_distinct(toks)) / greatest(len(toks), 1) AS distinct_ratio
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(digit_ratio, 6) AS digit_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(distinct_ratio, 6) AS distinct_ratio,
+       round(
+         (least(n_tokens / 100.0, 1.0)
+          + least(stopword_ratio * 4, 1.0)
+          + distinct_ratio) / 3
+         * greatest(1.0 - punct_ratio * 5, 0.0)
+         * greatest(1.0 - digit_ratio * 5, 0.0), 6) AS quality
+FROM f
+""",
+)
+def quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + scalar score per document (textstats.py:71-112),
+    ratios rounded to 6 dp on both sides."""
+    from sfa_spark.operators.textstats import quality_score
+
+    q = quality_score(_documents(spark, sf_dir))
+    return q.select(
+        "doc_id",
+        F.col("q_n_chars").alias("n_chars"),
+        F.col("q_n_tokens").alias("n_tokens"),
+        F.round("q_punct_ratio", 6).alias("punct_ratio"),
+        F.round("q_digit_ratio", 6).alias("digit_ratio"),
+        F.round("q_stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("q_mean_word_len", 6).alias("mean_word_len"),
+        F.round("q_distinct_token_ratio", 6).alias("distinct_ratio"),
+        F.col("quality"),
+    )
+
+
+# patch the stopword list into the oracle at import time (single source
+# of truth: the python profile set)
+_ORACLES["quality_docs"] = _ORACLES["quality_docs"].replace(
+    "{STOPS}", _stopwords_sql()
+)
+
+
+@register(
+    "ngram_jaccard_consecutive",
+    f"""
+WITH words AS (
+  SELECT doc_id, string_split({_NORM_TEXT_SQL}, ' ') AS w FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+  FROM words, LATERAL unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+), pairs AS (
+  SELECT d1.doc_id AS id_a, d2.doc_id AS id_b
+  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+), inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS i
+  FROM pairs p
+  JOIN grams ga ON ga.doc_id = p.id_a
+  JOIN grams gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b,
+       round(coalesce(i.i, 0) / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.id_a
+JOIN sizes sb ON sb.doc_id = p.id_b
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+""",
+)
+def ngram_jaccard_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard (dedup.py ngram_jaccard_pairs — pure set
+    algebra) over the deterministic candidate set (doc_id, doc_id+1)."""
+    from sfa_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _documents(spark, sf_dir)
+    ids = d.select("doc_id")
+    pairs = (
+        ids.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        .join(ids.select(F.col("doc_id").alias("id_b")), "id_b")
+    )
+    out = ngram_jaccard_pairs(d, pairs, n=3)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "decode_roundtrip_1h",
+    """
+WITH agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+         arg_max(value, ts) AS lastv
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM agg GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM span
+), joined AS (
+  SELECT s.user_id, s.bucket_ts, a.lastv
+  FROM spine s LEFT JOIN agg a USING (user_id, bucket_ts)
+)
+SELECT user_id, bucket_ts,
+       last_value(lastv IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value
+FROM joined
+""",
+)
+def decode_roundtrip_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END codec oracle: 1h tier → fused LOCF gap-fill + Gorilla/DoD
+    encode → DECODE back to rows, hash-compared against DuckDB's own
+    gap-fill. Any bit error in either codec or the fused kernel flips the
+    hash (value equality is exact float64 — no sums involved)."""
+    from sfa_spark.encode import decode_blocks, encode_tier_blocks_gapfill
+
+    t1h = rollup_tier(_events(spark, sf_dir), ["user_id"], "ts", "value", "1h")
+    blocks = encode_tier_blocks_gapfill(t1h, "user_id", tier="1h")
+    return decode_blocks(blocks, "user_id").select("user_id", "bucket_ts", "value")
+
+
 # --- non-SQL-expressible operators: rows-only driver check ----------------
+
+
+@register("knn_word_index")
+def knn_word_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-prefix-partitioned persistent k-NN index (SFABulkLoad
+    analogue): build over per-user event series, query, return top-k —
+    rows-only check (index semantics have no SQL equivalent; tests assert
+    index == brute force + partition pruning)."""
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql.window import Window as W
+
+    from sfa_spark.operators.word_index import build_word_index, knn_query_index
+    from sfa_spark.transform.sfa import fit_windowing
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ser = (
+        ev.withColumn("t", F.row_number().over(w))
+        .select(F.col("user_id").alias("series_id"), "t", "value")
+        .filter(F.col("series_id") < 40)
+    )
+    pdf = ser.filter(F.col("series_id") < 8).orderBy("series_id", "t").toPandas()
+    series = [
+        g["value"].to_numpy(dtype=float) for _, g in pdf.groupby("series_id")
+    ]
+    model = fit_windowing(series, 16, 4, 4, norm_mean=True)
+    root = tempfile.mkdtemp(prefix="sfa_widx_") + "/index"
+    build_word_index(ser, model, root, prefix_len=2)
+    query = series[0][5:21]
+    res, stats = knn_query_index(spark, root, np.asarray(query), k=5)
+    out = spark.createDataFrame(res)
+    return out.select("key", "offset", F.round("dist", 6).alias("dist"))
 
 @register("sfa_windowed_words_events")
 def sfa_windowed_words_events(spark: SparkSession, sf_dir: str) -> DataFrame:

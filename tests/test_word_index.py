@@ -1,0 +1,77 @@
+"""Persistent word-prefix index: result == brute force, and whole prefix
+partitions are pruned without being read (SFABulkLoad analogue)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sfa_spark.operators.word_index import build_word_index, knn_query_index
+from sfa_spark.tableio import TableIO
+from sfa_spark.transform.sfa import fit_windowing
+
+W, L, ALPHA, K = 16, 4, 4, 3
+
+
+@pytest.fixture(scope="module")
+def index_and_corpus(spark, tmp_path_factory):
+    rng = np.random.default_rng(42)
+    series = [rng.standard_normal(240).cumsum() for _ in range(6)]
+    rows = [
+        (i, t, float(v)) for i, s in enumerate(series) for t, v in enumerate(s)
+    ]
+    df = spark.createDataFrame(rows, "series_id long, t int, value double")
+    model = fit_windowing(series, W, L, ALPHA, norm_mean=True)
+    root = str(tmp_path_factory.mktemp("widx") / "index")
+    info = build_word_index(df, model, root, prefix_len=2)
+    assert info["windows"] == sum(len(s) - W + 1 for s in series)
+    return root, series, model
+
+
+def _brute_force(spark, root, query, k):
+    full = TableIO(root).read(spark).select("key", "offset", "win").toPandas()
+    from sfa_spark.transform import mft as _mft
+
+    q = _mft.znorm(np.asarray(query, dtype=np.float64), True)
+    d = np.array(
+        [((np.asarray(w) - q) ** 2).sum() for w in full["win"]]
+    )
+    full = full.assign(dist=d).sort_values(["dist", "key", "offset"]).head(k)
+    return full.reset_index(drop=True)
+
+
+def test_index_matches_brute_force(spark, index_and_corpus):
+    root, series, model = index_and_corpus
+    rng = np.random.default_rng(7)
+    for qi in range(4):
+        s = series[qi % len(series)]
+        start = int(rng.integers(0, len(s) - W))
+        query = s[start : start + W] + 0.01 * rng.standard_normal(W)
+        got, stats = knn_query_index(spark, root, query, k=K)
+        want = _brute_force(spark, root, query, K)
+        np.testing.assert_allclose(
+            got["dist"].to_numpy(), want["dist"].to_numpy(), rtol=1e-9, atol=1e-9
+        )
+        assert stats["prefixes_read"] <= stats["prefixes_total"]
+
+
+def test_index_prunes_partitions(spark, index_and_corpus):
+    """An exact-match query must leave most prefix partitions unread —
+    the files-read check that MBR pruning actually happens."""
+    root, series, model = index_and_corpus
+    query = series[0][10 : 10 + W]  # an indexed window verbatim
+    got, stats = knn_query_index(spark, root, query, k=1)
+    assert got["dist"].iloc[0] <= 1e-18
+    assert stats["prefixes_total"] > 4
+    assert stats["prefixes_read"] < stats["prefixes_total"], stats
+
+
+def test_index_is_persistent_snapshot(spark, index_and_corpus):
+    """The index is a TableIO snapshot: manifest carries the model + MBRs,
+    so a fresh process can query without refitting."""
+    root, _, _ = index_and_corpus
+    m = TableIO(root).manifest()
+    assert "model" in m["metrics"] and "mbrs" in m["metrics"]
+    assert all("lo" in v and "hi" in v for v in m["metrics"]["mbrs"].values())
