@@ -5,11 +5,12 @@ test accuracies (AbstractClassifierTest DELTA=0.05).
 
 Architecture note (Spark-first, not a port): model FITTING sweeps a
 window-length grid over the bounded training sample — in the reference a
-thread pool, here vectorized numpy per config (the distance kernel is one
-matmul per config; a 30-sample × 119-window grid fits in milliseconds per
-config, so distributing the grid would be all overhead). SCORING is where
-data is big: `predict_boss_ensemble_df` broadcasts the fitted ensemble
-(a small artifact) and scores test series inside ``applyInPandas`` —
+thread pool (ParallelFor.java:22-54), here a fork-based process pool over
+the grid (``parallel_map``; processes because the python kernel loops
+hold the GIL), with the factor filter applied after the map so the member
+set is order-independent. SCORING is where data is big:
+`predict_boss_ensemble_df` broadcasts the fitted ensemble (a small
+artifact) and scores test series inside ``applyInPandas`` —
 embarrassingly parallel over series, no shuffle.
 
 Exact semantics reproduced (file:line into /root/reference):
@@ -49,6 +50,31 @@ FOLDS = 10
 # --------------------------------------------------------------------------
 # shared helpers
 # --------------------------------------------------------------------------
+
+def parallel_map(fn, items, max_workers: int | None = None) -> list:
+    """Parallel driver-side map over a classifier config grid — the
+    reference's ParallelFor (ParallelFor.java:22-54). Fork-based processes,
+    not threads: the fit kernels are python+numpy loops that hold the GIL.
+    Deterministic: results come back in item order, and all selection /
+    factor-filter logic runs AFTER the map (equivalent to the reference's
+    locked best-update followed by filterByFactor — the final member set
+    depends only on the final best score). Set SFA_SPARK_SEQUENTIAL=1 to
+    force the sequential path (used by the equivalence test)."""
+    import multiprocessing as mp
+    import os
+    from concurrent.futures import ProcessPoolExecutor
+
+    items = list(items)
+    if os.environ.get("SFA_SPARK_SEQUENTIAL") == "1" or len(items) <= 1:
+        return [fn(it) for it in items]
+    workers = max_workers or min(16, os.cpu_count() or 4, len(items))
+    try:
+        ctx = mp.get_context("fork")
+        with ProcessPoolExecutor(max_workers=workers, mp_context=ctx) as ex:
+            return list(ex.map(fn, items, chunksize=max(1, len(items) // (workers * 4))))
+    except Exception:  # no fork / pool failure → correctness over speed
+        return [fn(it) for it in items]
+
 
 def _windows_desc(max_len: int, min_w: int = 10) -> list[int]:
     hi = min(MAX_WINDOW_LENGTH, max_len)
@@ -191,6 +217,26 @@ def _boss_1nn_test(member: BOSSMember, packed: list[np.ndarray]) -> np.ndarray:
     return labels
 
 
+def _boss_fit_window(args) -> tuple:
+    """One window-length config of the BOSS grid (the ParallelFor body,
+    BOSSEnsembleClassifier.java:123-179)."""
+    series, labels, w, norm_mean = args
+    sfa_model = _sfa.fit_windowing(series, w, MAX_F, MAX_S, norm_mean)
+    packed = _packed_words(sfa_model, series)
+    bits = sfa_model.needed_bits
+    m_score, m_f, m_mat, m_vocab = 0, MIN_F_BOSS, None, None
+    for f in range(MIN_F_BOSS, MAX_F + 1, 2):
+        bags = _bags(packed, f, bits)
+        mat, vocab = _bag_matrix(bags)
+        pred = _boss_1nn(mat, mat, labels, identity=True)
+        correct = int((~np.isnan(pred) & (pred == labels)).sum())
+        if correct > m_score:
+            m_score, m_f, m_mat, m_vocab = correct, f, mat, vocab
+            if correct == len(series):
+                break
+    return sfa_model, w, m_f, m_score, m_mat, m_vocab
+
+
 def fit_boss_ensemble(
     series: list[np.ndarray], labels: np.ndarray, min_window: int = 10
 ) -> BOSSEnsemble:
@@ -198,29 +244,18 @@ def fit_boss_ensemble(
     max_len = max(len(s) for s in series)
     best_ens, best_correct = None, -1
     for norm_mean in (True, False):
-        members: list[BOSSMember] = []
-        best_train = 0
-        for w in _windows_desc(max_len, min_window):
-            sfa_model = _sfa.fit_windowing(series, w, MAX_F, MAX_S, norm_mean)
-            packed = _packed_words(sfa_model, series)
-            bits = sfa_model.needed_bits
-            m_score, m_f, m_mat, m_vocab = 0, MIN_F_BOSS, None, None
-            for f in range(MIN_F_BOSS, MAX_F + 1, 2):
-                bags = _bags(packed, f, bits)
-                mat, vocab = _bag_matrix(bags)
-                pred = _boss_1nn(mat, mat, labels, identity=True)
-                correct = int((~np.isnan(pred) & (pred == labels)).sum())
-                if correct > m_score:
-                    m_score, m_f, m_mat, m_vocab = correct, f, mat, vocab
-                    if correct == len(series):
-                        break
-            if m_mat is not None:
-                best_train = max(best_train, m_score)
-                if m_score >= best_train * BOSS_FACTOR:
-                    members.append(
-                        BOSSMember(sfa_model, w, m_f, m_score, m_mat, m_vocab, labels)
-                    )
-        members = [m for m in members if m.train_score >= best_train * BOSS_FACTOR]
+        results = parallel_map(
+            _boss_fit_window,
+            [(series, labels, w, norm_mean) for w in _windows_desc(max_len, min_window)],
+        )
+        best_train = max((r[3] for r in results if r[4] is not None), default=0)
+        # filter vs the FINAL best — identical member set to the
+        # sequential best-so-far append + final re-filter (best only grows)
+        members = [
+            BOSSMember(r[0], r[1], r[2], r[3], r[4], r[5], labels)
+            for r in results
+            if r[4] is not None and r[3] >= best_train * BOSS_FACTOR
+        ]
         ens = BOSSEnsemble(members, norm_mean)
         pred = predict_boss_ensemble(ens, series)
         correct = int((~np.isnan(pred) & (pred == labels)).sum())
@@ -326,6 +361,35 @@ def _bossvs_windows(max_len: int, min_w: int = 10) -> list[int]:
     return out
 
 
+def _bossvs_fit_window(args) -> BOSSVSMember:
+    """One window config of the BOSS VS grid (BOSSVSClassifier.java:
+    fitEnsemble body)."""
+    series, labels, w, norm_mean, folds, uniq = args
+    all_idx = np.arange(len(series))
+    sfa_model = _sfa.fit_windowing(series, w, MAX_F, MAX_S, norm_mean)
+    packed = _packed_words(sfa_model, series)
+    bits = sfa_model.needed_bits
+    m_score, m_f = 0, MIN_F_BOSSVS
+    for f in range(MIN_F_BOSSVS, min(w, MAX_F) + 1, 2):
+        bags = _bags(packed, f, bits)
+        correct = 0
+        for s in range(FOLDS):
+            test_idx = folds[s]
+            train_idx = np.setdiff1d(all_idx, test_idx)
+            idf = _tfidf(bags, labels, train_idx, uniq)
+            pred = _bossvs_predict_bags(bags, test_idx, idf)
+            correct += int(
+                (~np.isnan(pred[test_idx]) & (pred[test_idx] == labels[test_idx])).sum()
+            )
+        if correct > m_score:
+            m_score, m_f = correct, f
+            if correct == len(series):
+                break
+    bags = _bags(packed, m_f, bits)
+    tfidf = _tfidf(bags, labels, all_idx, uniq)
+    return BOSSVSMember(sfa_model, w, m_f, m_score, uniq, tfidf)
+
+
 def fit_bossvs(
     series: list[np.ndarray], labels: np.ndarray, min_window: int = 10
 ) -> BOSSVSEnsemble:
@@ -333,39 +397,17 @@ def fit_bossvs(
     uniq = np.unique(labels)
     max_len = max(len(s) for s in series)
     folds = _stratified_folds(labels)
-    all_idx = np.arange(len(series))
     best_ens, best_correct = None, -1
     for norm_mean in (True, False):
-        members: list[BOSSVSMember] = []
-        best_train = 0
-        for w in _bossvs_windows(max_len, min_window):
-            sfa_model = _sfa.fit_windowing(series, w, MAX_F, MAX_S, norm_mean)
-            packed = _packed_words(sfa_model, series)
-            bits = sfa_model.needed_bits
-            m_score, m_f = 0, MIN_F_BOSSVS
-            for f in range(MIN_F_BOSSVS, min(w, MAX_F) + 1, 2):
-                bags = _bags(packed, f, bits)
-                correct = 0
-                for s in range(FOLDS):
-                    test_idx = folds[s]
-                    train_idx = np.setdiff1d(all_idx, test_idx)
-                    idf = _tfidf(bags, labels, train_idx, uniq)
-                    pred = _bossvs_predict_bags(bags, test_idx, idf)
-                    correct += int(
-                        (~np.isnan(pred[test_idx]) & (pred[test_idx] == labels[test_idx])).sum()
-                    )
-                if correct > m_score:
-                    m_score, m_f = correct, f
-                    if correct == len(series):
-                        break
-            bags = _bags(packed, m_f, bits)
-            tfidf = _tfidf(bags, labels, all_idx, uniq)
-            best_train = max(best_train, m_score)
-            if m_score >= best_train * BOSSVS_FACTOR:
-                members.append(
-                    BOSSVSMember(sfa_model, w, m_f, m_score, uniq, tfidf)
-                )
-        members = [m for m in members if m.train_score >= best_train * BOSSVS_FACTOR]
+        cands = parallel_map(
+            _bossvs_fit_window,
+            [
+                (series, labels, w, norm_mean, folds, uniq)
+                for w in _bossvs_windows(max_len, min_window)
+            ],
+        )
+        best_train = max((m.train_score for m in cands), default=0)
+        members = [m for m in cands if m.train_score >= best_train * BOSSVS_FACTOR]
         ens = BOSSVSEnsemble(members, norm_mean)
         pred = predict_bossvs(ens, series)
         correct = int((~np.isnan(pred) & (pred == labels)).sum())

@@ -25,7 +25,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from sfa_spark.classifiers import _stratified_folds
+from sfa_spark.classifiers import _stratified_folds, parallel_map
 from sfa_spark.transform import mft as _mft
 from sfa_spark.transform import sfa as _sfa
 from sfa_spark.weasel import _chi_squared_filter, _fit_lr, _fit_lr_np, _predict_lr, _to_matrix
@@ -114,6 +114,16 @@ def _all_words(sfa_models, samples):
     ]
 
 
+def _fit_window_and_words_muse(args):
+    """One MUSE window config: pooled-dims SFA fit + packed words per
+    (sample, dim) — the MUSE.createWords ParallelFor body
+    (MUSE.java:95-110)."""
+    samples, w, norm_mean, hist = args
+    m = _fit_window_sfa(samples, w, norm_mean, hist)
+    ws = [_words(m, np.asarray(d, dtype=np.float64)) for dims in samples for d in dims]
+    return m, ws
+
+
 def fit_muse(spark, samples: list[list[np.ndarray]], labels: np.ndarray) -> MUSEModel:
     labels = np.asarray(labels, dtype=np.float64)
     n_dims = len(samples[0])
@@ -125,8 +135,12 @@ def fit_muse(spark, samples: list[list[np.ndarray]], labels: np.ndarray) -> MUSE
     best = None
     for hist in (_sfa.EQUI_DEPTH, _sfa.EQUI_FREQUENCY):
         for norm_mean in (True, False):
-            sfa_models = [_fit_window_sfa(samples, w, norm_mean, hist) for w in windows]
-            words = _all_words(sfa_models, samples)
+            fitted = parallel_map(
+                _fit_window_and_words_muse,
+                [(samples, w, norm_mean, hist) for w in windows],
+            )
+            sfa_models = [m for m, _ in fitted]
+            words = [ws for _, ws in fitted]
             for f in range(MIN_F, MAX_F + 1, 2):
                 bags = _bags(words, windows, n_dims, f)
                 keep = _chi_squared_filter(bags, labels, CHI_LIMIT)

@@ -25,7 +25,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from sfa_spark.classifiers import _vote, accuracy
+from sfa_spark.classifiers import _vote, accuracy, parallel_map
 from sfa_spark.transform import mft as _mft
 
 MIN_WINDOW = 5
@@ -44,10 +44,15 @@ class ShotgunModel:
 
 def _train_windows(x: np.ndarray, w: int, norm_mean: bool) -> np.ndarray:
     """All sliding windows of a train series, z-normalized with the
-    incremental stats + σ=0→1 guard (calcMeansStds)."""
-    ww = min(w, x.size)
-    wins = np.lib.stride_tricks.sliding_window_view(x, ww).astype(np.float64)
-    means, stds = _mft.incremental_mean_std(x, ww)
+    incremental stats + σ=0→1 guard (calcMeansStds). A series shorter
+    than the window yields NO windows — the reference's sliding loop
+    ``end = len - windowLength + 1`` never executes then
+    (ShotgunClassifier.java:184), so such a train series is effectively
+    at infinite distance, not truncated."""
+    if x.size < w:
+        return np.empty((0, w), dtype=np.float64)
+    wins = np.lib.stride_tricks.sliding_window_view(x, w).astype(np.float64)
+    means, stds = _mft.incremental_mean_std(x, w)
     inv = np.where(stds > 0, 1.0 / np.where(stds > 0, stds, 1.0), 1.0)
     mu = means if norm_mean else np.zeros_like(means)
     return (wins - mu[:, None]) * inv[:, None]
@@ -74,6 +79,8 @@ def shotgun_distance_1nn(
         if skip_index is not None and j == skip_index:
             continue
         tw = _train_windows(np.asarray(ts, dtype=np.float64), model.window, model.norm_mean)[:, :wq]
+        if tw.shape[0] == 0:  # train series shorter than the window
+            continue
         d = (
             (qm**2).sum(axis=1)[:, None]
             - 2.0 * qm @ tw.T
@@ -92,6 +99,16 @@ def _predict(model: ShotgunModel, queries: list[np.ndarray], train_vs_train: boo
     return out
 
 
+def _shotgun_fit_window(args) -> ShotgunModel:
+    """One window config: leave-self-out train accuracy (ParallelFor body,
+    ShotgunClassifier.java:105-131)."""
+    series, labels, w, norm_mean = args
+    m = ShotgunModel(w, norm_mean, series, labels)
+    pred = _predict(m, series, train_vs_train=True)
+    m.train_score = int((~np.isnan(pred) & (pred == labels)).sum())
+    return m
+
+
 def fit_shotgun(
     series: list[np.ndarray],
     labels: np.ndarray,
@@ -104,15 +121,15 @@ def fit_shotgun(
     max_len = max(len(s) for s in series)
     best_single, best_members = None, None
     for norm_mean in (True, False):
-        members, best_train = [], 0
-        for w in range(min(MAX_WINDOW, max_len), min_window - 1, -1):
-            m = ShotgunModel(w, norm_mean, series, labels)
-            pred = _predict(m, series, train_vs_train=True)
-            m.train_score = int((~np.isnan(pred) & (pred == labels)).sum())
-            best_train = max(best_train, m.train_score)
-            if m.train_score >= best_train * factor:
-                members.append(m)
-        members = [m for m in members if m.train_score >= best_train * factor]
+        cands = parallel_map(
+            _shotgun_fit_window,
+            [
+                (series, labels, w, norm_mean)
+                for w in range(min(MAX_WINDOW, max_len), min_window - 1, -1)
+            ],
+        )
+        best_train = max((m.train_score for m in cands), default=0)
+        members = [m for m in cands if m.train_score >= best_train * factor]
         top = max(members, key=lambda m: (m.train_score, m.window))
         if best_single is None or top.train_score > best_single.train_score:
             best_single, best_members = top, members

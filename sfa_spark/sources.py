@@ -108,6 +108,45 @@ def load_ucr_numpy(
     return series, np.asarray(labels)
 
 
+def load_multivariate_numpy(
+    path: str, derivatives: bool = False
+) -> tuple[list[list[np.ndarray]], np.ndarray]:
+    """Driver-side multivariate loader (TimeSeriesLoader.java:84-138):
+    one timestep per line ``id ts label d1 … dk``, samples split on id
+    change, timestamp ignored, NO z-norm (the reference MTS path never
+    calls ts.norm()). ``derivatives`` interleaves first-difference
+    channels (getDerivatives, TimeSeriesLoader.java:140-156)."""
+    samples: list[list[list[float]]] = []
+    labels: list[float] = []
+    last_id = None
+    cur: list[list[float]] | None = None
+    with open(path) as f:
+        for line in f:
+            toks = line.split()
+            if len(toks) < 4:
+                continue
+            sid = int(toks[0])
+            if sid != last_id:
+                if cur is not None and cur[0]:
+                    samples.append(cur)
+                last_id = sid
+                cur = [[] for _ in range(len(toks) - 3)]
+                labels.append(float(toks[2]))
+            for dim in range(len(toks) - 3):
+                try:
+                    cur[dim].append(float(toks[dim + 3]))
+                except ValueError:
+                    continue
+    if cur is not None and cur[0]:
+        samples.append(cur)
+    out = [[np.asarray(d, dtype=np.float64) for d in dims] for dims in samples]
+    if derivatives:
+        out = [
+            [x for d in dims for x in (d, np.diff(d))] for dims in out
+        ]
+    return out, np.asarray(labels, dtype=np.float64)
+
+
 def load_multivariate(spark: SparkSession, path: str) -> DataFrame:
     """Multivariate file → long DataFrame (sample_id, label, t, dim, value).
 

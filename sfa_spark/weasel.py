@@ -29,7 +29,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from sfa_spark.classifiers import _stratified_folds
+from sfa_spark.classifiers import _stratified_folds, parallel_map
 from sfa_spark.transform import sfa as _sfa
 from sfa_spark.transform.sfa_supervised import SupervisedSFAModel, f_oneway
 from sfa_spark.transform import mft as _mft
@@ -250,6 +250,15 @@ def _fit_lr_np(mat: np.ndarray, labels: np.ndarray, iters: int = 300):
     return (w, b, classes)
 
 
+def _fit_window_and_words(args):
+    """One WEASEL window config: supervised SFA fit + packed words for
+    every training series (the ParallelFor body)."""
+    series, labels, w, norm_mean = args
+    m = _fit_supervised_windowing(series, labels, w, norm_mean)
+    ws = [_transform_words(m, np.asarray(s, dtype=np.float64)) for s in series]
+    return m, ws
+
+
 def fit_weasel(spark, series: list[np.ndarray], labels: np.ndarray) -> WEASELModel:
     labels = np.asarray(labels, dtype=np.float64)
     max_len = max(len(s) for s in series)
@@ -259,13 +268,14 @@ def fit_weasel(spark, series: list[np.ndarray], labels: np.ndarray) -> WEASELMod
 
     best = None  # (correct, norm, f, sfa_models, words)
     for norm_mean in (True, False):
-        sfa_models = [
-            _fit_supervised_windowing(series, labels, w, norm_mean) for w in windows
-        ]
-        words = [
-            [_transform_words(m, np.asarray(s, dtype=np.float64)) for s in series]
-            for m in sfa_models
-        ]
+        # per-window supervised fit + all-series transform: the reference's
+        # ParallelFor grid (WEASEL.java:102-118), fork-pool parallel
+        fitted = parallel_map(
+            _fit_window_and_words,
+            [(series, labels, w, norm_mean) for w in windows],
+        )
+        sfa_models = [m for m, _ in fitted]
+        words = [ws for _, ws in fitted]
         for f in range(MIN_F, MAX_F + 1, 2):
             bags = _bags_of_bigrams(words, windows, f)
             keep = _chi_squared_filter(bags, labels, CHI_LIMIT)

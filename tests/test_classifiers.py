@@ -80,3 +80,22 @@ def test_boss_ensemble_coffee_golden():
     test, yte = load_ucr_numpy(os.path.join(src, "Coffee_TEST"))
     ens = fit_boss_ensemble(train, ytr)
     assert abs(accuracy(predict_boss_ensemble(ens, test), yte) - 1.0) <= DELTA
+
+
+def test_parallel_fit_equals_sequential(cbf, monkeypatch):
+    """The fork-pool grid fit must produce the same ensemble + predictions
+    as the sequential path (reference ParallelFor determinism contract)."""
+    import os
+
+    from sfa_spark.classifiers import fit_bossvs, predict_bossvs
+
+    train, ytr, test, yte = cbf
+    sub_tr, sub_y = train[:18], ytr[:18]
+    par = fit_bossvs(sub_tr, sub_y)
+    monkeypatch.setenv("SFA_SPARK_SEQUENTIAL", "1")
+    seq = fit_bossvs(sub_tr, sub_y)
+    assert [m.window for m in par.members] == [m.window for m in seq.members]
+    assert [m.train_score for m in par.members] == [m.train_score for m in seq.members]
+    p1 = predict_bossvs(par, test[:50])
+    p2 = predict_bossvs(seq, test[:50])
+    assert ((p1 == p2) | (np.isnan(p1) & np.isnan(p2))).all()

@@ -43,3 +43,30 @@ def test_with_derivatives_doubles_dims():
     out = with_derivatives(samples)
     assert len(out[0]) == 4
     assert len(out[0][2]) == len(samples[0][0]) - 1
+
+
+def test_muse_on_bundled_shapes_random(spark):
+    """MUSE on the reference's bundled ShapesRandom MTS dataset (with
+    derivative channels, like MTSClassificationTest.java:70-74). The
+    reference hard-codes NO golden for MTS datasets (the test only prints
+    scores), so this asserts a sanity floor on real multivariate data
+    rather than reference parity."""
+    import os
+
+    from sfa_spark.classifiers import accuracy
+    from sfa_spark.muse import fit_muse, predict_muse
+    from sfa_spark.sources import load_multivariate_numpy
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+    train, ytr = load_multivariate_numpy(
+        os.path.join(fix, "ShapesRandom_TRAIN3"), derivatives=True
+    )
+    test, yte = load_multivariate_numpy(
+        os.path.join(fix, "ShapesRandom_TEST3"), derivatives=True
+    )
+    assert len(train[0]) == 4  # 2 dims + 2 derivative channels
+    model = fit_muse(spark, train, ytr)
+    acc_train = accuracy(predict_muse(model, train), ytr)
+    acc_test = accuracy(predict_muse(model, test), yte)
+    assert acc_train >= 0.9, acc_train
+    assert acc_test >= 0.7, acc_test
