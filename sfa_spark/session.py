@@ -36,6 +36,12 @@ def get_spark(
     partitions than that on small inputs — AQE coalesces down anyway).
     """
     n = cores or default_parallelism()
+    # shuffle dir on tmpfs when available — the local-mode analogue of an
+    # executor's local NVMe; avoids queueing on the sandbox's shared disk
+    # (override with SPARK_GRAFT_LOCAL_DIR, disable with value "")
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/sfa-spark-local"
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
@@ -50,6 +56,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -52,6 +52,79 @@ def streaming_rollup(
                       "n", "sum", "min", "max", "first", "last")
 
 
+def streaming_locf_carry(
+    stream: DataFrame,
+    key_cols: list[str],
+    tier: str = "1m",
+    ts_col: str = "bucket_ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator: LOCF gap-fill as a
+    ``applyInPandasWithState`` kernel.
+
+    Input: a stream of observed tier rows (key…, bucket_ts, value).
+    Per key, the GroupState carries (last emitted bucket, last value);
+    each micro-batch emits the DENSE bucket range from the carried
+    position through the batch's newest observation, forward-filling
+    gaps — the streaming twin of rollup.gap_fill_locf (verified equal in
+    tests when the same rows arrive in time order). State is two scalars
+    per key: O(keys) memory regardless of stream length.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    _, step = TIERS[tier]
+    bucket_us = int(step) * 1_000_000
+    key_schema = ", ".join(f"{c} {dict(stream.dtypes)[c]}" for c in key_cols)
+    out_schema = f"{key_schema}, bucket_ts timestamp, value double, locf_filled boolean"
+    state_schema = "last_us long, last_value double"
+
+    def fn(key, pdfs, state):
+        obs = pd.concat(list(pdfs), ignore_index=True)
+        if obs.empty:
+            return
+        us = (
+            obs[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
+        )
+        order = np.argsort(us, kind="stable")
+        us = us[order]
+        vals = obs[value_col].to_numpy(dtype=np.float64)[order]
+        if state.exists:
+            last_us, last_v = state.get
+            start = last_us + bucket_us
+            carry = last_v
+        else:
+            start = int(us[0])
+            carry = np.nan
+        end = int(us[-1])
+        if end < start:
+            return
+        ts = np.arange(start, end + 1, bucket_us, dtype=np.int64)
+        dense = np.full(ts.size, np.nan)
+        idx = np.searchsorted(ts, us)
+        sel = (us - start) % bucket_us == 0
+        dense[idx[sel]] = vals[sel]
+        observed = ~np.isnan(dense)
+        seen = np.maximum.accumulate(np.where(observed, np.arange(ts.size), -1))
+        filled = np.where(seen >= 0, dense[np.maximum(seen, 0)], carry)
+        state.update((int(ts[-1]), float(filled[-1])))
+        out = pd.DataFrame(
+            {
+                "bucket_ts": pd.to_datetime(ts, unit="us"),
+                "value": filled,
+                "locf_filled": ~observed,
+            }
+        )
+        for c, v in zip(key_cols, key):
+            out[c] = v
+        yield out[[*key_cols, "bucket_ts", "value", "locf_filled"]]
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_stream_once(
     spark: SparkSession,
     source_dir: str,
