@@ -224,3 +224,38 @@ def random_walks(
     # spread series across partitions before the expensive generation
     ids = ids.repartition(min(n_series, spark.sparkContext.defaultParallelism))
     return ids.mapInPandas(gen, schema="series_id long, t long, value double")
+
+
+def read_sample_subsequence(path: str) -> np.ndarray:
+    """One long series from a whole file of whitespace/tab-separated
+    values (TimeSeriesLoader.java:173-195 readSampleSubsequence): all
+    lines concatenated, NaN/empty tokens dropped."""
+    vals: list[float] = []
+    with open(path) as f:
+        for line in f:
+            for tok in line.split():
+                if tok and tok != "NaN":
+                    try:
+                        vals.append(float(tok))
+                    except ValueError:
+                        continue
+    return np.asarray(vals, dtype=np.float64)
+
+
+def read_samples_query_series(path: str) -> list[np.ndarray]:
+    """One series per line, no label column
+    (TimeSeriesLoader.java:197-225 readSamplesQuerySeries) — the query
+    format of the bundled indexing dataset (query_lightcurves.txt)."""
+    out: list[np.ndarray] = []
+    with open(path) as f:
+        for line in f:
+            vals = []
+            for tok in line.split():
+                if tok and tok != "NaN":
+                    try:
+                        vals.append(float(tok))
+                    except ValueError:
+                        continue
+            if vals:
+                out.append(np.asarray(vals, dtype=np.float64))
+    return out

@@ -75,3 +75,36 @@ def test_index_is_persistent_snapshot(spark, index_and_corpus):
     m = TableIO(root).manifest()
     assert "model" in m["metrics"] and "mbrs" in m["metrics"]
     assert all("lo" in v and "hi" in v for v in m["metrics"]["mbrs"].values())
+
+
+def test_index_with_bundled_lightcurve_queries(spark, index_and_corpus):
+    """The reference's bundled indexing queries (query_lightcurves.txt,
+    SFATrieTest format) against the indexed random-walk corpus: the
+    persistent index must agree with brute force for real query data."""
+    import os
+
+    from sfa_spark.sources import read_samples_query_series
+
+    root, _, _ = index_and_corpus
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+    queries = read_samples_query_series(os.path.join(fix, "query_lightcurves.txt"))
+    assert len(queries) > 0 and all(q.size >= W for q in queries)
+    for q in queries[:3]:
+        got, stats = knn_query_index(spark, root, q[:W], k=2)
+        want = _brute_force(spark, root, q[:W], 2)
+        np.testing.assert_allclose(
+            got["dist"].to_numpy(), want["dist"].to_numpy(), rtol=1e-9, atol=1e-9
+        )
+
+
+def test_raw_sample_loaders():
+    import os
+
+    from sfa_spark.sources import read_sample_subsequence, read_samples_query_series
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+    path = os.path.join(fix, "query_lightcurves.txt")
+    series = read_samples_query_series(path)
+    flat = read_sample_subsequence(path)
+    assert len(series) == 9
+    assert flat.size == sum(s.size for s in series)
