@@ -543,7 +543,61 @@ def decode_roundtrip_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_blocks(blocks, "user_id").select("user_id", "bucket_ts", "value")
 
 
+@register(
+    "cosine_pairs_consecutive",
+    """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+)
+SELECT id_a, id_b, cosine FROM pairs
+""",
+)
+def cosine_pairs_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding cosine for the deterministic candidate set
+    (vec_id, vec_id+1) — the verify stage of cosine_near_dup with a
+    SQL-expressible candidate generator, oracled against DuckDB's
+    list_cosine_similarity."""
+    from sfa_spark.operators.similarity import _dot, with_unit_vectors
+
+    emb = _embeddings(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    u = with_unit_vectors(emb, "embedding", "_u").select("vec_id", "_u")
+    a = u.select(F.col("vec_id").alias("id_a"), F.col("_u").alias("_ua"))
+    b = u.select(F.col("vec_id").alias("id_b"), F.col("_u").alias("_ub"))
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select("id_a", "id_b", F.round(_dot(F.col("_ua"), F.col("_ub")), 6).alias("cosine"))
+    )
+
+
 # --- non-SQL-expressible operators: rows-only driver check ----------------
+
+
+@register("simhash_near_dups")
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (pigeonhole chunk join + bit_count
+    verify). The testdata has no near-dups, so every 4th document is
+    unioned back with a lightly edited copy — the query must recover
+    exactly those planted pairs (fingerprints come from python FNV
+    shingles: rows-only driver check; pytest asserts the planted
+    recovery)."""
+    from sfa_spark.operators.dedup import simhash_dedup
+
+    # bounded scope: the synthetic corpus is template-generated, so loose
+    # hamming thresholds over ALL docs explode combinatorially — restrict
+    # to 100 docs + their planted edits and a tight threshold
+    d = _documents(spark, sf_dir).select("doc_id", "text").filter(
+        F.col("doc_id") < 100
+    )
+    edited = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended footer")).alias("text"),
+    )
+    return simhash_dedup(d.unionAll(edited), max_hamming=3)
 
 
 @register("knn_word_index")
