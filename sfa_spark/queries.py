@@ -600,6 +600,40 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(d.unionAll(edited), max_hamming=3)
 
 
+@register("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over opaque binary payloads: documents' text
+    bytes become the payload column with typed metadata, then the
+    mapInPandas decode→pool feature kernel runs with the deterministic
+    fake decoder (the real decoder is an injection point — no image libs
+    in this container). Rows-only check; schema/batching real."""
+    from sfa_spark.operators.multimodal import extract_features, fake_image_decoder
+
+    d = _documents(spark, sf_dir).filter(F.col("doc_id") < 200)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit(32).alias("width"),
+            F.lit(24).alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media, decoder=fake_image_decoder)
+    return feats.select(
+        "media_id",
+        F.size("features").alias("n_features"),
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, v: a + v)
+            / F.size("features"),
+            4,
+        ).alias("mean_feature"),
+    )
+
+
 @register("knn_word_index")
 def knn_word_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-prefix-partitioned persistent k-NN index (SFABulkLoad

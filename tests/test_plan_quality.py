@@ -48,3 +48,38 @@ def test_encode_pins_explicit_partitioning(events):
 def test_filter_pushdown_reaches_scan(events):
     p = plan_of(events.filter(F.col("user_id") == 7).select("value"))
     assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]" in p, p
+
+
+def test_ngram_jaccard_no_cartesian(spark, documents):
+    """n-gram Jaccard is pure set algebra over equi-joins — a cartesian
+    product would be quadratic at web scale."""
+    from pyspark.sql import functions as F
+
+    from sfa_spark.operators.dedup import ngram_jaccard_pairs
+
+    ids = documents.select("doc_id")
+    pairs = ids.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+    p = plan_of(ngram_jaccard_pairs(documents, pairs, n=3))
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_quality_features_prunes_scan(spark, documents):
+    """Quality features read only (doc_id, text) of the documents table."""
+    import re as _re
+
+    from sfa_spark.operators.textstats import quality_score
+
+    p = plan_of(quality_score(documents.select("doc_id", "text")))
+    m = _re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}, cols
+
+
+def test_lsh_candidates_no_cartesian(spark, documents):
+    from sfa_spark.operators.dedup import minhash_lsh_candidates, minhash_signatures
+
+    sigs = minhash_signatures(documents.limit(50))
+    p = plan_of(minhash_lsh_candidates(sigs))
+    assert "CartesianProduct" not in p
