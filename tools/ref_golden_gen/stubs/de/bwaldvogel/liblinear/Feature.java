@@ -1,0 +1,2 @@
+package de.bwaldvogel.liblinear;
+public interface Feature { int getIndex(); double getValue(); void setValue(double v); }
