@@ -51,11 +51,19 @@ def _fit_window_sfa(
     for dims in samples:
         for d in dims:
             for wd in _sfa.disjoint_windows(d, window):
-                wins.append(_mft.znorm(wd, norm_mean))
+                # The reference norms MTS fit windows TWICE: once in
+                # SFA.fitWindowing(MTS[]) (SFA.java:246-257) and again in
+                # fitWindowing(TimeSeries[]) (SFA.java:269-278), which
+                # re-cuts each window into itself as a FRESH TimeSeries
+                # (normed flag unset) and norms it again. The second pass
+                # is ~identity for regular windows but rescales degenerate
+                # (σ≈0 blow-up) windows by another √buf — bin parity
+                # requires reproducing it.
+                wins.append(_mft.znorm(_mft.znorm(wd, norm_mean), norm_mean))
     if not wins:
         wins = [np.zeros(window)]
     approx = np.stack([_mft.transform(w, window, MAX_F, norm_mean, True) for w in wins])
-    rounded = np.round(approx * 100.0) / 100.0
+    rounded = _sfa.java_round2dp(approx)
     fit = _sfa.fit_bins_equi_depth if hist == _sfa.EQUI_DEPTH else _sfa.fit_bins_equi_width
     bins = np.stack([fit(np.sort(rounded[:, i]), MAX_S) for i in range(MAX_F)])
     return _sfa.SFAModel(
@@ -86,7 +94,12 @@ def _bags(words, windows, n_dims, f):
             for dim in range(n_dims):
                 seq = words[wi][i * n_dims + dim] & mask
                 for off in range(seq.size):
-                    k = (wi, dim, int(seq[off]))
+                    # MuseWord content key (w, dim, word, word2); unigrams
+                    # carry word2=0 — EXACTLY as the reference, so a bigram
+                    # whose second word masks to 0 collides with the
+                    # unigram of its first word (MUSE.java:202-213 —
+                    # MuseWord equality makes them the same feature)
+                    k = (wi, dim, int(seq[off]), 0)
                     bags[i][k] = bags[i].get(k, 0) + 1
                     if off - w >= 0:
                         k2 = (wi, dim, int(seq[off - w]), int(seq[off]))

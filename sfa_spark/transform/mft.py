@@ -38,15 +38,28 @@ import numpy as np
 def znorm(x: np.ndarray, norm_mean: bool = True) -> np.ndarray:
     """Z-normalize like TimeSeries.norm(normMean): always divide by the
     population σ (guarding σ=0 → 1.0); subtract the mean only if
-    ``norm_mean``."""
+    ``norm_mean``.
+
+    Bit-mirrors the reference's SEQUENTIAL sums (calculateMean /
+    calculateStddev, TimeSeries.java:101-128) via ``np.cumsum`` (a
+    sequential loop, unlike ``np.sum``'s pairwise blocks): on a constant
+    window the variance residual is pure float noise whose SIGN depends
+    on summation order — the reference can get buf≈1e-16 > 0 and divide
+    by σ≈1e-8 (blowing the window up by 1e8); matching the order makes
+    this engine degenerate identically, which the MUSE/WEASEL bin parity
+    depends on."""
     x = np.asarray(x, dtype=np.float64)
-    mean = x.mean() if x.size else 0.0
-    var = (x * x).mean() - mean * mean if x.size else 0.0
-    std = np.sqrt(var) if var > 0 else 0.0
+    if x.size == 0:
+        return x
+    mean = np.cumsum(x)[-1] / x.size
+    buf = (1.0 / x.size) * np.cumsum(x * x)[-1] - mean * mean
+    std = np.sqrt(buf) if buf > 0 else 0.0
     inv = 1.0 / std if std != 0 else 1.0
     if norm_mean:
         return (x - mean) * inv
-    return x * inv
+    if inv != 1.0:  # TimeSeries.java:89-93 skips the multiply when inv==1
+        return x * inv
+    return x
 
 
 def _interleave_rfft(window: np.ndarray, n_slots: int) -> np.ndarray:
@@ -117,12 +130,25 @@ def incremental_mean_std(x: np.ndarray, window_size: int) -> tuple[np.ndarray, n
     n = x.size
     end = max(1, n - window_size + 1)
     r = 1.0 / window_size
-    csum = np.concatenate(([0.0], np.cumsum(x)))
-    csq = np.concatenate(([0.0], np.cumsum(x * x)))
-    hi = np.minimum(np.arange(end) + window_size, n)
-    lo = np.arange(end)
-    means = (csum[hi] - csum[lo]) * r
-    buf = (csq[hi] - csq[lo]) * r - means * means
+    # Bit-mirror the reference's RUNNING accumulator: sum_t = ((S0 + d1)
+    # + d2) + …, with d_j = x[j+W-1] - x[j-1] as ONE subtraction per step
+    # (TimeSeries.java:254-266) — np.cumsum is a sequential loop, so the
+    # float rounding matches exactly. On near-constant windows the sign
+    # of buf (≈1e-16) decides between σ=0 and a 1e8 blow-up through
+    # 1/σ, so matching the op order is a parity requirement, not pedantry.
+    w0 = x[: min(n, window_size)]
+    s0 = np.cumsum(w0)[-1] if w0.size else 0.0
+    q0 = np.cumsum(w0 * w0)[-1] if w0.size else 0.0
+    if end > 1:
+        d = x[window_size:n] - x[0 : n - window_size]
+        e = x[window_size:n] * x[window_size:n] - x[0 : n - window_size] * x[0 : n - window_size]
+        sums = np.cumsum(np.concatenate(([s0], d)))
+        sqsums = np.cumsum(np.concatenate(([q0], e)))
+    else:
+        sums = np.array([s0])
+        sqsums = np.array([q0])
+    means = sums * r
+    buf = sqsums * r - means * means
     stds = np.sqrt(np.maximum(buf, 0.0))
     stds[buf <= 0] = 0.0
     return means, stds

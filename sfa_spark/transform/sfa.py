@@ -24,9 +24,22 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import math
+
 import numpy as np
 
 from sfa_spark.transform import mft as _mft
+
+#: Java's entropy() precomputes 1/ln(2) and multiplies (SFA.java:474)
+_LOG2_INV = 1.0 / math.log(2.0)
+
+
+def java_round2dp(values: np.ndarray) -> np.ndarray:
+    """``Math.round(v*100.0)/100.0`` (SFA.java:397-398): Java rounds half
+    UP (floor(x+0.5)), numpy's ``np.round`` rounds half to EVEN — they
+    differ whenever v*100 lands exactly on .5, which flips orderline
+    positions and therefore bins. Mirror Java exactly."""
+    return np.floor(np.asarray(values, dtype=np.float64) * 100.0 + 0.5) / 100.0
 
 EQUI_DEPTH = "EQUI_DEPTH"
 EQUI_FREQUENCY = "EQUI_FREQUENCY"  # reference quirk: dispatches equi-WIDTH
@@ -64,13 +77,21 @@ def fit_bins_equi_width(sorted_values: np.ndarray, alphabet_size: int) -> np.nda
 
 
 def _entropy(counts: dict[float, int], total: float) -> float:
-    if total <= 0:
-        return 0.0
+    """Java-exact SFA.entropy (SFA.java:472-483): double division, so
+    total==0 with a positive count gives p=+Inf and entropy -Inf (the
+    caller's gain then becomes NaN and loses every >= comparison, i.e.
+    the reference silently SKIPS those split candidates — reproduced);
+    total<0 gives negative p, skipped, entropy 0."""
     e = 0.0
     for v in counts.values():
+        if total == 0:
+            if v > 0:
+                return float("-inf")
+            continue  # 0/0 = NaN in Java, not > 0 → skipped
         p = v / total
         if p > 0:
-            e -= p * np.log2(p)
+            # mirror Java's exact arithmetic: p*log(p)*(1/log 2), not log2(p)
+            e -= p * math.log(p) * _LOG2_INV
     return e
 
 
@@ -276,7 +297,7 @@ def fit_transform(
             for s in samples
         ]
     )
-    rounded = np.round(approx * 100.0) / 100.0  # SFA.java:398
+    rounded = java_round2dp(approx)  # SFA.java:398
     bins = _fit_bins(list(rounded.T), alphabet_size, histogram_type)
     model = SFAModel(
         word_length=word_length,
@@ -323,7 +344,7 @@ def fit_windowing(
             for wd in windows
         ]
     )
-    rounded = np.round(approx * 100.0) / 100.0
+    rounded = java_round2dp(approx)
     bins = _fit_bins(list(rounded.T), alphabet_size, histogram_type)
     return SFAModel(
         word_length=word_length,

@@ -52,7 +52,7 @@ def fit_windowing_df(
         for wdata in _sfa.disjoint_windows(x, window_size):
             normed = _mft.znorm(wdata, norm_mean)
             a = _mft.transform(normed, window_size, wl, norm_mean, lower_bounding)
-            rows.append(np.round(a * 100.0) / 100.0)  # SFA.java:398 fit-time rounding
+            rows.append(_sfa.java_round2dp(a))  # SFA.java:398 fit-time rounding
         if not rows:
             return pd.DataFrame({"coef": np.array([], dtype=np.int32), "value": []})
         mat = np.stack(rows)

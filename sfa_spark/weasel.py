@@ -68,7 +68,7 @@ def _fit_supervised_windowing(
     approx = np.stack(
         [_mft.transform(w, window, window, norm_mean, False) for w in wins]
     )
-    rounded = np.round(approx * 100.0) / 100.0
+    rounded = _sfa.java_round2dp(approx)
     bins = np.stack(
         [
             _sfa.fit_bins_info_gain(rounded[:, i], wlabels, MAX_S)

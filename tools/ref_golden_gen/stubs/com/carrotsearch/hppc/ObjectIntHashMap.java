@@ -4,21 +4,41 @@ import java.util.ArrayList;
 import java.util.HashMap;
 import java.util.List;
 // Minimal functional stand-in for the hppc API surface the reference uses.
+// Insertion-ordered + slot-indexed so Dictionary.getWord's
+// indexOf/indexGet path works and the generator can invert id -> key.
 public class ObjectIntHashMap<K> {
-    private final HashMap<K, Integer> m = new HashMap<>();
+    private final ArrayList<K> keyList = new ArrayList<>();
+    private final ArrayList<Integer> valList = new ArrayList<>();
+    private final HashMap<K, Integer> slot = new HashMap<>();
     public int putOrAdd(K key, int putValue, int incrementValue) {
-        Integer cur = m.get(key);
-        int v = (cur == null) ? putValue : cur + incrementValue;
-        m.put(key, v);
-        return v;
+        Integer s = slot.get(key);
+        if (s == null) {
+            slot.put(key, keyList.size());
+            keyList.add(key); valList.add(putValue);
+            return putValue;
+        }
+        valList.set(s, valList.get(s) + incrementValue);
+        return valList.get(s);
     }
-    public int get(K key) { Integer v = m.get(key); return v == null ? 0 : v; }
-    public int put(K key, int value) { Integer old = m.put(key, value); return old == null ? 0 : old; }
-    public int size() { return m.size(); }
+    public int get(K key) { Integer s = slot.get(key); return s == null ? 0 : valList.get(s); }
+    public int put(K key, int value) {
+        Integer s = slot.get(key);
+        if (s == null) {
+            slot.put(key, keyList.size());
+            keyList.add(key); valList.add(value);
+            return 0;
+        }
+        int old = valList.get(s); valList.set(s, value); return old;
+    }
+    public int indexOf(K key) { Integer s = slot.get(key); return s == null ? -1 : s; }
+    public int indexGet(int index) { return valList.get(index); }
+    public int size() { return keyList.size(); }
+    public K keyAt(int index) { return keyList.get(index); }
     public Iterable<IntCursor> values() {
         List<IntCursor> out = new ArrayList<>();
-        int i = 0;
-        for (Integer v : m.values()) { IntCursor c = new IntCursor(); c.index = i++; c.value = v; out.add(c); }
+        for (int i = 0; i < valList.size(); i++) {
+            IntCursor c = new IntCursor(); c.index = i; c.value = valList.get(i); out.add(c);
+        }
         return out;
     }
 }
