@@ -25,8 +25,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sfa_spark.rollup import reaggregate, rollup_tier
+from sfa_spark.rollup import SUMMARY_COLS, reaggregate, rollup_tier
 from sfa_spark.tableio import TableIO
+
+
+def _day_fingerprints(
+    events: DataFrame, cols: list[str], ts_col: str
+) -> dict[str, str]:
+    """Content fingerprint per day over the CONSUMED columns: row count +
+    order-independent sum of per-row xxhash64, as ``"count:hashsum"``.
+
+    Row count alone misses late data that lands in already-present
+    buckets (changes values, not counts) — the tier cascade (1h refreshed
+    from the 1m snapshot) would then silently keep stale aggregates. The
+    hash sum is accumulated in decimal(38,0) so it cannot overflow under
+    ANSI mode at any realistic row count; one hash agg, map-side partial.
+    """
+    rows = (
+        events.groupBy(F.to_date(ts_col).alias("dt"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(*cols).cast("decimal(38,0)")
+            ).alias("h"),
+        )
+        .collect()
+    )
+    return {str(r["dt"]): f'{r["n"]}:{r["h"]}' for r in rows}
 
 
 def refresh_tier(
@@ -50,30 +75,43 @@ def refresh_tier(
     committed 1m snapshot, 1d from 1h, so raw data is scanned exactly
     once per refresh across all tiers.
 
-    Late-data detection: each commit records the per-day input row count
-    (``input_rows_by_day``, cumulative across the lineage). A planned day
-    that is already committed but whose incoming row count differs is
-    **stale** — late-arriving rows landed in a closed day. With
-    ``recompute_stale`` (default) its partition is recomputed in place
-    (day partitions are closed, independently-recomputable units);
-    otherwise it is only surfaced in the returned dict.
+    **Contract: ``events`` must be the FULL cumulative source for every
+    day it contains** (the raw table, or the committed finer-tier
+    snapshot), not an incremental delta — stale/missing day partitions
+    are rebuilt solely from ``events``, so a delta would replace a
+    committed day with partial data. Day-level pruning makes passing the
+    full source cheap: untouched days are skipped without being scanned
+    beyond the fingerprint aggregate.
+
+    Late-data detection: each commit records a per-day CONTENT
+    fingerprint of the consumed input columns (``input_fp_by_day``:
+    row count + order-independent xxhash64 sum, cumulative across the
+    lineage). A planned day that is already committed but whose
+    fingerprint differs is **stale** — late rows landed in a closed day,
+    even if they changed bucket values without changing row counts (the
+    cascade case: 1h refreshed from a revised 1m snapshot). A committed
+    day with NO recorded fingerprint (legacy snapshot) is conservatively
+    treated as stale so it becomes detectable afterwards. With
+    ``recompute_stale`` (default) stale partitions are recomputed in
+    place (day partitions are closed, independently-recomputable units);
+    otherwise they are only surfaced in the returned dict.
     """
     tio = TableIO(table_root)
-    per_day = {
-        str(r["dt"]): r["n"]
-        for r in events.groupBy(F.to_date(ts_col).alias("dt"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    consumed = (
+        key_cols + ["bucket_ts", *SUMMARY_COLS]
+        if source == "tier"
+        else key_cols + [ts_col, value_col]
+    )
+    per_day = _day_fingerprints(events, consumed, ts_col)
     planned = sorted(per_day)
     missing = set(tio.missing_partitions(planned))
-    prev_counts = (tio.manifest() or {}).get("metrics", {}).get(
-        "input_rows_by_day", {}
+    prev_fps = (tio.manifest() or {}).get("metrics", {}).get(
+        "input_fp_by_day", {}
     )
     stale = sorted(
         d
         for d in planned
-        if d not in missing and d in prev_counts and prev_counts[d] != per_day[d]
+        if d not in missing and prev_fps.get(d) != per_day[d]
     )
     to_process = sorted(missing | set(stale)) if recompute_stale else sorted(missing)
     if not to_process:
@@ -101,8 +139,8 @@ def refresh_tier(
         metrics={
             "tier": tier,
             "rollup_rows_by_day": rows_by_day,
-            "input_rows_by_day": {
-                **prev_counts,
+            "input_fp_by_day": {
+                **prev_fps,
                 **{d: per_day[d] for d in to_process},
             },
         },

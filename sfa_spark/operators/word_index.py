@@ -47,22 +47,17 @@ def _prefix_of(words: np.ndarray, alphabet_size: int, prefix_len: int) -> np.nda
     return p
 
 
-def build_word_index(
+def _transform_rows(
     series_df: DataFrame,
-    model: SFAModel,
-    root: str,
-    key_col: str = "series_id",
-    t_col: str = "t",
-    value_col: str = "value",
-    prefix_len: int = 2,
-    job: str = "word_index",
-) -> dict:
-    """Sliding-window transform every series and persist the windows
-    bucketed by SFA-word prefix, with per-prefix Fourier MBRs in the
-    snapshot manifest. Returns {snapshot, prefixes, windows}."""
-    spark = series_df.sparkSession
-    model_dict = model.to_dict()
-    w = model.window_size
+    model_dict: dict,
+    prefix_len: int,
+    key_col: str,
+    t_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-series sliding-window transform → (key, offset, prefix, word,
+    dft, win) rows (the shared build/append kernel)."""
+    w = model_dict["window_size"]
 
     def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
         m = SFAModel.from_dict(model_dict)
@@ -103,16 +98,17 @@ def build_word_index(
             }
         )
 
-    rows = series_df.groupBy(key_col).applyInPandas(
+    return series_df.groupBy(key_col).applyInPandas(
         per_series,
         schema="key long, offset int, prefix long, word array<smallint>, "
         "dft array<double>, win array<double>",
     )
 
-    # per-prefix Fourier MBR — one tiny aggregate (the trie node boxes)
+
+def _prefix_mbrs(rows: DataFrame, l: int) -> dict:
+    """Per-prefix Fourier MBR — one tiny aggregate (the trie node boxes)."""
     from pyspark.sql import functions as F
 
-    l = model.word_length
     mbr_rows = (
         rows.select(
             "prefix", *[F.col("dft")[i].alias(f"c{i}") for i in range(l)]
@@ -125,7 +121,7 @@ def build_word_index(
         )
         .collect()
     )
-    mbrs = {
+    return {
         str(r["prefix"]): {
             "n": r["n"],
             "lo": [r[f"lo{i}"] for i in range(l)],
@@ -134,6 +130,41 @@ def build_word_index(
         for r in mbr_rows
     }
 
+
+def _merge_mbrs(old: dict, new: dict) -> dict:
+    """SFATrie.mergeTrees (SFATrie.java:366-380) on manifest MBRs: counts
+    add, boxes take elementwise min/max — both associative, so appends
+    compose in any order."""
+    out = dict(old)
+    for p, m in new.items():
+        if p not in out:
+            out[p] = m
+        else:
+            o = out[p]
+            out[p] = {
+                "n": o["n"] + m["n"],
+                "lo": [min(a, b) for a, b in zip(o["lo"], m["lo"])],
+                "hi": [max(a, b) for a, b in zip(o["hi"], m["hi"])],
+            }
+    return out
+
+
+def build_word_index(
+    series_df: DataFrame,
+    model: SFAModel,
+    root: str,
+    key_col: str = "series_id",
+    t_col: str = "t",
+    value_col: str = "value",
+    prefix_len: int = 2,
+    job: str = "word_index",
+) -> dict:
+    """Sliding-window transform every series and persist the windows
+    bucketed by SFA-word prefix, with per-prefix Fourier MBRs in the
+    snapshot manifest. Returns {snapshot, prefixes, windows}."""
+    model_dict = model.to_dict()
+    rows = _transform_rows(series_df, model_dict, prefix_len, key_col, t_col, value_col)
+    mbrs = _prefix_mbrs(rows, model.word_length)
     tio = TableIO(root)
     snap = tio.write_snapshot(
         rows,
@@ -148,12 +179,67 @@ def build_word_index(
     }
 
 
-def _mbr_lb(dft_q: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> float:
-    """SFATrie.getLowerBoundingDistance: 2·Σ (clamped distance)²."""
+def append_word_index(
+    series_df: DataFrame,
+    root: str,
+    key_col: str = "series_id",
+    t_col: str = "t",
+    value_col: str = "value",
+    job: str = "word_index_append",
+) -> dict:
+    """Incrementally add a batch of NEW series to an existing index —
+    the SFATrie.mergeTrees analogue (SFATrie.java:366-380;
+    SFABulkLoadTest.java:169-279 asserts post-merge == brute force).
+
+    Only the new series are transformed (the committed model's bins are
+    reused — the reference's bulk loader quantizes inserts against the
+    frozen SFA too); their per-prefix files are written into a new
+    snapshot whose manifest UNIONs paths per prefix
+    (``merge_partitions``) and merges the MBRs (min/max/count are
+    associative). No existing file is read or rewritten — at 100 TB,
+    appends are the normal mode and a full rebuild is not."""
+    tio = TableIO(root)
+    m = tio.manifest()
+    if m is None:
+        raise FileNotFoundError(f"no index snapshot at {root}")
+    model_dict = m["metrics"]["model"]
+    prefix_len = m["metrics"]["prefix_len"]
+    old_mbrs = m["metrics"]["mbrs"]
+    rows = _transform_rows(series_df, model_dict, prefix_len, key_col, t_col, value_col)
+    new_mbrs = _prefix_mbrs(rows, model_dict["word_length"])
+    merged = _merge_mbrs(old_mbrs, new_mbrs)
+    snap = tio.write_snapshot(
+        rows,
+        "prefix",
+        job=job,
+        metrics={"model": model_dict, "prefix_len": prefix_len, "mbrs": merged},
+        merge_partitions=True,
+    )
+    return {
+        "snapshot": snap,
+        "prefixes": len(merged),
+        "windows": int(sum(v["n"] for v in merged.values())),
+        "appended_windows": int(sum(v["n"] for v in new_mbrs.values())),
+    }
+
+
+def _mbr_lb(
+    dft_q: np.ndarray, lo: np.ndarray, hi: np.ndarray, normed: bool = True
+) -> float:
+    """SFATrie.getLowerBoundingDistance: 2·Σ (clamped distance)².
+
+    The reference only ever runs the trie on z-normed windows, so it
+    doubles every coefficient. For ``norm_mean=False`` indexes the DC
+    coefficient occupies slots 0 (real, counted once) and 1 (imag,
+    always 0 — skipped), mirroring ``sfa_lower_bound`` — doubling them
+    here could exceed true ED and falsely dismiss the nearest neighbor.
+    """
     below = np.maximum(lo - dft_q, 0.0)
     above = np.maximum(dft_q - hi, 0.0)
     d = below + above
-    return float(2.0 * (d * d).sum())
+    if normed:
+        return float(2.0 * (d * d).sum())
+    return float(d[0] * d[0] + 2.0 * (d[2:] * d[2:]).sum())
 
 
 def knn_query_index(
@@ -184,13 +270,19 @@ def knn_query_index(
     word_q = quantize(dft_q[None, :], model.bins)[0]
 
     lbs = {
-        p: _mbr_lb(dft_q, np.asarray(v["lo"]), np.asarray(v["hi"]))
+        p: _mbr_lb(
+            dft_q, np.asarray(v["lo"]), np.asarray(v["hi"]), model.norm_mean
+        )
         for p, v in mbrs.items()
     }
     order = sorted(lbs, key=lambda p: (lbs[p], p))
 
     def read_prefixes(pfx: list[str]) -> DataFrame:
-        paths = [os.path.join(tio.root, parts[p]["path"]) for p in pfx]
+        paths = [
+            os.path.join(tio.root, path)
+            for p in pfx
+            for path in (parts[p].get("paths") or [parts[p]["path"]])
+        ]
         return spark.read.parquet(*paths)
 
     # phase 1 — seed bound from the nearest prefixes (≥ k windows)

@@ -394,9 +394,6 @@ def exact_dup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dup_groups(seeded)
 
 
-_STOP_SQL = None  # filled below from the python stopword set
-
-
 def _stopwords_sql() -> str:
     from sfa_spark.operators.textstats import _STOPWORDS_EN
 
@@ -660,10 +657,12 @@ def knn_word_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         g["value"].to_numpy(dtype=float) for _, g in pdf.groupby("series_id")
     ]
     model = fit_windowing(series, 16, 4, 4, norm_mean=True)
-    root = tempfile.mkdtemp(prefix="sfa_widx_") + "/index"
-    build_word_index(ser, model, root, prefix_len=2)
     query = series[0][5:21]
-    res, stats = knn_query_index(spark, root, np.asarray(query), k=5)
+    # build + query under a scoped temp dir; materialize the (tiny, k-row)
+    # result before cleanup so repeated driver/bench invocations leak nothing
+    with tempfile.TemporaryDirectory(prefix="sfa_widx_") as tmp:
+        build_word_index(ser, model, tmp + "/index", prefix_len=2)
+        res, stats = knn_query_index(spark, tmp + "/index", np.asarray(query), k=5)
     out = spark.createDataFrame(res)
     return out.select("key", "offset", F.round("dist", 6).alias("dist"))
 

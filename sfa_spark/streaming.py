@@ -97,9 +97,14 @@ def streaming_locf_carry(
         else:
             start = int(us[0])
             carry = np.nan
-        end = int(us[-1])
-        if end < start:
+        # Late/replayed rows at or before the carried position would
+        # searchsorted to idx 0 and (being bucket-aligned) silently land
+        # in the wrong bucket — drop them before building the dense range.
+        keep = us >= start
+        us, vals = us[keep], vals[keep]
+        if us.size == 0:
             return
+        end = int(us[-1])
         ts = np.arange(start, end + 1, bucket_us, dtype=np.int64)
         dense = np.full(ts.size, np.nan)
         idx = np.searchsorted(ts, us)

@@ -76,12 +76,18 @@ class TableIO:
         job: str = "",
         metrics: dict | None = None,
         carry_forward: bool = True,
+        merge_partitions: bool = False,
     ) -> str:
         """Write ``df`` partitioned by ``partition_col`` as a new snapshot.
 
         With ``carry_forward`` the new manifest inherits the parent's
         partitions that this write did not touch (their files are
         referenced, not rewritten — incremental refresh shape).
+
+        With ``merge_partitions`` a partition present in BOTH the parent
+        and this write keeps the parent's files too (``paths`` list) —
+        append semantics (the word index's SFATrie.mergeTrees analogue)
+        instead of the default replace semantics.
         """
         snap = self._next_snapshot_id()
         parent = self.current_snapshot()
@@ -105,7 +111,16 @@ class TableIO:
         if carry_forward and parent:
             parent_manifest = self.manifest(parent) or {"partitions": {}}
             for pk, meta in parent_manifest["partitions"].items():
-                parts.setdefault(pk, meta)
+                if pk not in parts:
+                    parts[pk] = meta
+                elif merge_partitions:
+                    old_paths = meta.get("paths") or [meta["path"]]
+                    new = parts[pk]
+                    parts[pk] = {
+                        "paths": old_paths + [new["path"]],
+                        "files": meta["files"] + new["files"],
+                        "bytes": meta["bytes"] + new["bytes"],
+                    }
 
         manifest = {
             "snapshot_id": snap,
@@ -137,8 +152,9 @@ class TableIO:
 
         by_snap: dict[str, list[str]] = {}
         for p in m["partitions"].values():
-            snap_dir = p["path"].split("/", 1)[0]
-            by_snap.setdefault(snap_dir, []).append(os.path.join(self.root, p["path"]))
+            for path in p.get("paths") or [p["path"]]:
+                snap_dir = path.split("/", 1)[0]
+                by_snap.setdefault(snap_dir, []).append(os.path.join(self.root, path))
         dfs = [
             spark.read.option("basePath", os.path.join(self.root, s)).parquet(*ps)
             for s, ps in sorted(by_snap.items())

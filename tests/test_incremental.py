@@ -105,6 +105,53 @@ def test_late_data_detected_and_recomputed(spark, events, tmp_path):
     assert r3["stale"] == [target] and r3["processed"] == []
 
 
+def test_cascade_stale_when_values_change_but_counts_dont(spark, events, tmp_path):
+    """Late data that revises 1m bucket VALUES without changing the 1m row
+    count for a day must still flag the 1h day stale (content fingerprint,
+    not count) and recompute it."""
+    root_1m = str(tmp_path / "cs_1m")
+    root_1h = str(tmp_path / "cs_1h")
+    days = sorted(
+        str(r["dt"]) for r in events.select(F.to_date("ts").alias("dt")).distinct().collect()
+    )
+    target = days[0]
+    # same rows, but one day's values perturbed -> same counts everywhere
+    perturbed = events.withColumn(
+        "value",
+        F.when(F.to_date("ts") == target, F.col("value") + F.lit(1000.0)).otherwise(
+            F.col("value")
+        ),
+    )
+    refresh_tier(spark, perturbed, root_1m, KEY, "ts", "value", tier="1m")
+    t1m = read_tier(spark, root_1m)
+    refresh_tier(spark, t1m, root_1h, KEY, "bucket_ts", "value", tier="1h", source="tier")
+
+    # the corrected data arrives: 1m day is stale (value fingerprint differs,
+    # count identical) and is recomputed
+    r_1m = refresh_tier(spark, events, root_1m, KEY, "ts", "value", tier="1m")
+    assert r_1m["stale"] == [target]
+    # cascade: 1h sees revised 1m VALUES for the day, same 1m row count
+    t1m = read_tier(spark, root_1m)
+    r_1h = refresh_tier(
+        spark, t1m, root_1h, KEY, "bucket_ts", "value", tier="1h", source="tier"
+    )
+    assert target in r_1h["stale"] and target in r_1h["processed"]
+
+    got = (
+        read_tier(spark, root_1h)
+        .groupBy()
+        .agg(F.sum("sum").alias("s"))
+        .collect()[0]["s"]
+    )
+    want = (
+        rollup_tier(events, KEY, "ts", "value", "1h")
+        .groupBy()
+        .agg(F.sum("sum").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert abs(got - want) < 1e-6
+
+
 def test_tier_cascade_from_committed_snapshot(spark, events, tmp_path):
     """1h refreshed FROM the committed 1m table (source='tier') must equal
     the direct raw->1h rollup exactly."""

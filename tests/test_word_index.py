@@ -108,3 +108,76 @@ def test_raw_sample_loaders():
     flat = read_sample_subsequence(path)
     assert len(series) == 9
     assert flat.size == sum(s.size for s in series)
+
+
+def test_incremental_append_matches_brute_force(spark, tmp_path):
+    """SFATrie.mergeTrees analogue (SFABulkLoadTest.java:169-279): append
+    a second batch of series to a committed index — only the new series
+    are transformed, existing partition files are referenced (not
+    rewritten), manifest MBRs merge associatively, and the post-append
+    query equals brute force over the COMBINED corpus with pruning stats
+    still recorded."""
+    import os
+
+    from sfa_spark.operators.word_index import append_word_index
+
+    rng = np.random.default_rng(11)
+    batch1 = [rng.standard_normal(200).cumsum() for _ in range(4)]
+    batch2 = [rng.standard_normal(200).cumsum() for _ in range(3)]
+
+    def to_df(series, id0):
+        rows = [
+            (id0 + i, t, float(v))
+            for i, s in enumerate(series)
+            for t, v in enumerate(s)
+        ]
+        return spark.createDataFrame(rows, "series_id long, t int, value double")
+
+    model = fit_windowing(batch1, W, L, ALPHA, norm_mean=True)
+    root = str(tmp_path / "widx_inc")
+    info1 = build_word_index(to_df(batch1, 0), model, root, prefix_len=2)
+
+    # snapshot files before append (to prove no rewrite)
+    tio = TableIO(root)
+    snap1 = tio.current_snapshot()
+    snap1_dir = os.path.join(root, snap1)
+    before = {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(snap1_dir)
+        for f in fs
+    }
+
+    info2 = append_word_index(to_df(batch2, 100), root)
+    assert info2["windows"] == info1["windows"] + info2["appended_windows"]
+    assert info2["appended_windows"] == sum(len(s) - W + 1 for s in batch2)
+
+    # batch-1 files untouched
+    after = {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(snap1_dir)
+        for f in fs
+    }
+    assert before == after, "append rewrote existing index files"
+
+    # merged manifest MBRs contain every prefix of both batches
+    m = tio.manifest()
+    assert sum(v["n"] for v in m["metrics"]["mbrs"].values()) == info2["windows"]
+
+    # queries over the combined corpus == brute force, pruning intact
+    combined = batch1 + batch2
+    for qi in (0, 5):  # one query near each batch
+        s = combined[qi % len(combined)]
+        query = s[20 : 20 + W] + 0.01 * rng.standard_normal(W)
+        got, stats = knn_query_index(spark, root, query, k=K)
+        want = _brute_force(spark, root, query, K)
+        np.testing.assert_allclose(
+            got["dist"].to_numpy(), want["dist"].to_numpy(), rtol=1e-9, atol=1e-9
+        )
+        assert stats["prefixes_read"] <= stats["prefixes_total"]
+
+    # a second append composes (associativity of the MBR merge)
+    batch3 = [rng.standard_normal(150).cumsum() for _ in range(2)]
+    info3 = append_word_index(to_df(batch3, 200), root)
+    got, stats = knn_query_index(spark, root, batch3[0][5 : 5 + W], k=1)
+    assert got["dist"].iloc[0] <= 1e-18  # finds the newly appended window
+    assert info3["windows"] == info2["windows"] + info3["appended_windows"]
