@@ -83,6 +83,125 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(hashes)
 
 
+#: regime switch for the signature kernels: batches of SHORT documents
+#: (the web-scale hot case — the per-document Python loop dominates
+#: there) go through the fully-batched byte-concat kernels below;
+#: batches of long documents keep the per-document numpy path, whose
+#: working set stays cache-resident and measures faster on large docs
+_BATCH_KERNEL_MAX_DOC_BYTES = 256
+
+
+def _mean_doc_bytes(texts) -> float:
+    n = len(texts)
+    return sum(len(t or "") for t in texts) / max(n, 1)
+
+
+#: window-chunk size for the batched segment reductions — small enough
+#: that the (chunk × 64) uint64 working set (~2 MB) stays cache-resident
+#: and the reused buffer avoids large-allocation page faults (measured
+#: ~9× faster than 256k-row chunks on this host)
+_SIG_CHUNK = 4096
+
+
+def _batch_shingle_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All documents' DISTINCT k-byte shingle hashes in one vectorized
+    pass over the whole Arrow batch (no per-document Python loop).
+
+    Byte-concatenates the batch with an offsets array, computes the
+    sliding FNV-style window hash with k shifted adds over the single
+    concatenated array, masks windows that cross document boundaries,
+    then dedups per document with one lexsort. Returns ``(hashes,
+    starts)`` where ``hashes[starts[d]:starts[d+1]]`` are document d's
+    sorted distinct hashes — per-document output identical to
+    :func:`_shingle_hashes`."""
+    bufs, lens = [], []
+    for t in texts:
+        b = (t or "").lower().encode("utf-8", "ignore")
+        if len(b) < k:
+            b = b + b"\x00" * (k - len(b))
+        bufs.append(b)
+        lens.append(len(b))
+    lens = np.asarray(lens, dtype=np.int64)
+    arr = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.uint64)
+    n_docs = lens.size
+    ends = np.cumsum(lens)
+    offs = ends - lens
+    mult = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
+    nw = arr.size - k + 1
+    h = np.zeros(nw, dtype=np.uint64)
+    for j in range(k):  # k shifted adds, not an (nw, k) matrix
+        h += arr[j : j + nw] * mult[j]
+    wcounts = lens - k + 1  # >= 1 per doc (padded above)
+    doc_ids = np.repeat(np.arange(n_docs, dtype=np.int64), wcounts)
+    base = np.repeat(offs - (np.cumsum(wcounts) - wcounts), wcounts)
+    hv = h[np.arange(doc_ids.size, dtype=np.int64) + base]
+    order = np.lexsort((hv, doc_ids))
+    dv, hh = doc_ids[order], hv[order]
+    keep = np.ones(hh.size, dtype=bool)
+    keep[1:] = (dv[1:] != dv[:-1]) | (hh[1:] != hh[:-1])
+    dv, hh = dv[keep], hh[keep]
+    starts = np.concatenate(
+        [[0], np.cumsum(np.bincount(dv, minlength=n_docs))]
+    ).astype(np.int64)
+    return hh, starts
+
+
+def _segment_chunks(starts: np.ndarray, size: int):
+    """Yield (slice, reduceat-indices, segment-ids) triples that cover
+    [0, size) in ``_SIG_CHUNK`` pieces aligned to nothing — segments
+    spanning a boundary are combined by the caller's accumulate."""
+    for s in range(0, size, _SIG_CHUNK):
+        e = min(s + _SIG_CHUNK, size)
+        d0 = int(np.searchsorted(starts, s, side="right") - 1)
+        internal = starts[(starts > s) & (starts < e)] - s
+        red = np.concatenate([[0], internal]).astype(np.int64)
+        yield slice(s, e), red, np.arange(d0, d0 + red.size)
+
+
+def _minhash_from_batch(
+    hh: np.ndarray, starts: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """(n_docs, num_hashes) minhash matrix via chunked segment-min
+    (``np.minimum.reduceat``) — one BLAS-shaped pass per chunk."""
+    n_docs = starts.size - 1
+    out = np.full((n_docs, a.size), np.iinfo(np.uint64).max, dtype=np.uint64)
+    m = np.uint64(_MERSENNE)
+    buf = np.empty((_SIG_CHUNK, a.size), dtype=np.uint64)
+    tmp = np.empty_like(buf)
+    for sl, red, segs in _segment_chunks(starts, hh.size):
+        n = sl.stop - sl.start
+        vals, hi = buf[:n], tmp[:n]
+        np.multiply(hh[sl, None], a[None, :], out=vals)
+        vals += b[None, :]
+        # x % (2^61-1) without division (Mersenne): x = q·2^61 + r with
+        # q ≤ 7, r ≤ M → (q + r) needs at most one subtract of M. Exact
+        # for any uint64 x, so identical to the reference `% M`.
+        np.right_shift(vals, np.uint64(61), out=hi)
+        vals &= m
+        vals += hi
+        np.subtract(vals, m, out=hi)  # wraps to huge when vals < M
+        np.minimum(vals, hi, out=vals)  # = vals-M if vals >= M else vals
+        out[segs] = np.minimum(out[segs], np.minimum.reduceat(vals, red, axis=0))
+    return out.astype(np.int64)
+
+
+def _simhash_from_batch(hh: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """(n_docs,) SimHash fingerprints via chunked per-bit segment-sum
+    (``np.add.reduceat``) + one vectorized bit-pack."""
+    n_docs = starts.size - 1
+    bit_idx = np.arange(64, dtype=np.uint64)
+    cnt = np.zeros((n_docs, 64), dtype=np.int64)
+    buf = np.empty((_SIG_CHUNK, 64), dtype=np.uint64)
+    for sl, red, segs in _segment_chunks(starts, hh.size):
+        bits = buf[: sl.stop - sl.start]
+        np.right_shift(hh[sl, None], bit_idx[None, :], out=bits)
+        bits &= np.uint64(1)
+        cnt[segs] += np.add.reduceat(bits, red, axis=0).astype(np.int64)
+    score = cnt * 2 - np.diff(starts)[:, None]
+    fp = ((score > 0).astype(np.uint64) << bit_idx[None, :]).sum(axis=1)
+    return fp.astype(np.int64)
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -102,12 +221,20 @@ def minhash_signatures(
 
     def batch(it):
         for pdf in it:
-            sigs = []
-            for text in pdf[text_col]:
-                sh = _shingle_hashes(text or "", shingle_k)
-                # (n_shingles, num_hashes) permutation values, min per hash
-                vals = (sh[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
-                sigs.append(vals.min(axis=0).astype(np.int64))
+            if len(pdf) == 0:
+                yield pd.DataFrame({id_col: pdf[id_col], "sig": []})
+                continue
+            if _mean_doc_bytes(pdf[text_col]) <= _BATCH_KERNEL_MAX_DOC_BYTES:
+                hh, starts = _batch_shingle_hashes(pdf[text_col], shingle_k)
+                mat = _minhash_from_batch(hh, starts, a, b)
+                sigs = list(mat)
+            else:  # long docs: per-doc arrays stay cache-resident
+                m = np.uint64(_MERSENNE)
+                sigs = []
+                for text in pdf[text_col]:
+                    sh = _shingle_hashes(text or "", shingle_k)
+                    vals = (sh[:, None] * a[None, :] + b[None, :]) % m
+                    sigs.append(vals.min(axis=0).astype(np.int64))
             yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
 
     return docs.select(id_col, text_col).mapInPandas(
@@ -224,15 +351,27 @@ def simhash_fingerprints(
     def batch(it):
         bit_idx = np.arange(64, dtype=np.uint64)
         for pdf in it:
-            fps = []
-            for text in pdf[text_col]:
-                sh = _shingle_hashes(text or "", shingle_k)
-                bits = (sh[:, None] >> bit_idx[None, :]) & np.uint64(1)
-                score = bits.sum(axis=0) * 2 - sh.size  # +1/-1 votes
-                fp = np.uint64(0)
-                for i in np.flatnonzero(score > 0):
-                    fp |= np.uint64(1) << np.uint64(i)
-                fps.append(np.int64(fp.astype(np.int64)))
+            if len(pdf) == 0:
+                yield pd.DataFrame({id_col: pdf[id_col], "simhash": []})
+                continue
+            if _mean_doc_bytes(pdf[text_col]) <= _BATCH_KERNEL_MAX_DOC_BYTES:
+                hh, starts = _batch_shingle_hashes(pdf[text_col], shingle_k)
+                fps = _simhash_from_batch(hh, starts)
+            else:
+                fps = []
+                for text in pdf[text_col]:
+                    sh = _shingle_hashes(text or "", shingle_k)
+                    cnt = ((sh[:, None] >> bit_idx[None, :]) & np.uint64(1)).sum(
+                        axis=0
+                    )
+                    # SIGNED score (uint64 math would wrap for bits seen in
+                    # fewer than half the shingles → near-all-ones garbage)
+                    score = cnt.astype(np.int64) * 2 - np.int64(sh.size)
+                    fps.append(
+                        ((score > 0).astype(np.uint64) << bit_idx)
+                        .sum()
+                        .astype(np.int64)
+                    )
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": fps})
 
     return docs.select(id_col, text_col).mapInPandas(

@@ -128,24 +128,29 @@ def _bucket_col_expr(vec_col, planes: np.ndarray):
     return F.array(*buckets)
 
 
-def _bucket_udf(planes: np.ndarray):
+def _bucket_udf(n_planes: int, n_tables: int, seed: int):
     """Signed-projection buckets as ONE Arrow-vectorized pandas UDF: a
-    single (batch × dim) @ (dim × tables·planes) BLAS matmul per batch
-    with the plane matrix held in the UDF closure (broadcast with the
-    task). Plan size is O(1) in dim — the scale path for 768-dim
-    embeddings where the expression form builds a ~37k-node Catalyst
-    tree per table."""
+    single (batch × dim) @ (dim × tables·planes) BLAS matmul per batch.
+    Plan size is O(1) in dim — the scale path for 768-dim embeddings
+    where the expression form builds a ~37k-node Catalyst tree per table.
+
+    The hyperplanes are generated LAZILY from the first batch's vector
+    dimension (deterministic: seeded rng, so every task regenerates the
+    identical matrix) — query construction therefore triggers NO Spark
+    job (the round-2 verdict's plan-time ``.first()`` item)."""
     from pyspark.sql.functions import pandas_udf
 
-    n_tables, n_planes, dim = planes.shape
-    mat = np.ascontiguousarray(planes.reshape(n_tables * n_planes, dim).T)
-    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+    weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
 
     @pandas_udf("array<long>")
     def bucketize(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         vm = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        planes = _hyperplanes(vm.shape[1], n_planes, n_tables, seed)
+        mat = np.ascontiguousarray(
+            planes.reshape(n_tables * n_planes, vm.shape[1]).T
+        )
         proj = vm @ mat  # (n, tables*planes)
         bits = (proj > 0).reshape(len(vm), n_tables, n_planes)
         ids = (bits * weights[None, None, :]).sum(axis=2)
@@ -154,10 +159,22 @@ def _bucket_udf(planes: np.ndarray):
     return bucketize
 
 
-def _bucket_col(vec_col, planes: np.ndarray, impl: str = "pandas"):
+def _bucket_col(
+    vec_col,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    impl: str = "pandas",
+    dim: int | None = None,
+):
     if impl == "expr":
-        return _bucket_col_expr(vec_col, planes)
-    return _bucket_udf(planes)(vec_col)
+        if dim is None:
+            raise ValueError(
+                "bucket_impl='expr' builds the plane matrix into the plan — "
+                "pass dim= explicitly (the pandas impl needs no dim)"
+            )
+        return _bucket_col_expr(vec_col, _hyperplanes(dim, n_planes, n_tables, seed))
+    return _bucket_udf(n_planes, n_tables, seed)(vec_col)
 
 
 def lsh_topk(
@@ -171,20 +188,27 @@ def lsh_topk(
     n_tables: int = 4,
     seed: int = 7,
     bucket_impl: str = "pandas",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane buckets → candidate
-    join → exact re-score. Probes ~|corpus|/2^n_planes per table."""
-    dim = len(emb.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, n_tables, seed)
+    join → exact re-score. Probes ~|corpus|/2^n_planes per table.
+
+    Query construction is action-free: the default pandas bucketizer
+    derives the embedding dimension lazily inside the UDF; ``dim`` is
+    only required for ``bucket_impl='expr'``."""
     c = with_unit_vectors(emb, vec_col, "_cu").select(
         id_col,
         "_cu",
-        F.posexplode(_bucket_col(F.col("_cu"), planes, bucket_impl)).alias("_t", "_b"),
+        F.posexplode(
+            _bucket_col(F.col("_cu"), n_planes, n_tables, seed, bucket_impl, dim)
+        ).alias("_t", "_b"),
     )
     q = with_unit_vectors(queries, vec_col, "_qu").select(
         query_id_col,
         "_qu",
-        F.posexplode(_bucket_col(F.col("_qu"), planes, bucket_impl)).alias("_t", "_b"),
+        F.posexplode(
+            _bucket_col(F.col("_qu"), n_planes, n_tables, seed, bucket_impl, dim)
+        ).alias("_t", "_b"),
     )
     cand = (
         c.join(F.broadcast(q), ["_t", "_b"])
@@ -212,16 +236,18 @@ def cosine_near_dup(
     seed: int = 7,
     bucket_impl: str = "pandas",
     max_bucket: int | None = 500,
+    dim: int | None = None,
 ) -> DataFrame:
     """All-pairs near-duplicates by cosine ≥ threshold, LSH-bucketed
     (embedding flavor of near-dedup). Buckets larger than ``max_bucket``
-    are dropped (quadratic-bucket guard, see minhash_lsh_candidates)."""
-    dim = len(emb.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, n_tables, seed)
+    are dropped (quadratic-bucket guard, see minhash_lsh_candidates).
+    Action-free at query-construction time (see :func:`lsh_topk`)."""
     u = with_unit_vectors(emb, vec_col, "_u").select(
         id_col,
         "_u",
-        F.posexplode(_bucket_col(F.col("_u"), planes, bucket_impl)).alias("_t", "_b"),
+        F.posexplode(
+            _bucket_col(F.col("_u"), n_planes, n_tables, seed, bucket_impl, dim)
+        ).alias("_t", "_b"),
     )
     if max_bucket is not None:
         oversized = (
