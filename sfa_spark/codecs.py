@@ -190,6 +190,158 @@ def gorilla_encode(values: np.ndarray) -> bytes:
     return _pack_segments_at(seg_v, seg_l, seg_s, total_bits)
 
 
+def gorilla_encode_runs(run_values: np.ndarray, run_lengths: np.ndarray) -> bytes:
+    """``gorilla_encode(np.repeat(run_values, run_lengths))`` computed
+    directly from the run structure — O(runs), never materializing the
+    dense array.
+
+    The LOCF gap-fill encode path emits exactly run-shaped series (each
+    observation starts a run that repeats until the next observation), so
+    this turns the value half of the fused encode kernel from O(dense
+    points) into O(observed points). Byte-identical to the dense encoder:
+    repeats are '0' control bits (already zero in the output words), and
+    only run-boundary records with a non-zero XOR are packed, at offsets
+    computed from the run lengths. Zero-length runs are dropped (dense
+    scatter's last-duplicate-wins falls out of this too); a boundary whose
+    XOR is zero (observation equal to the carried value) costs a control
+    bit like any repeat — no record, exactly as the dense path.
+    """
+    L = np.asarray(run_lengths, dtype=np.int64)
+    keep = L > 0
+    w = np.ascontiguousarray(run_values, dtype=np.float64).view(np.uint64)[keep]
+    L = L[keep]
+    n = int(L.sum())
+    header = np.array([n], dtype=np.uint64)
+    if n == 0:
+        return _pack_segments(header, np.array([64]))
+    if n == 1:
+        return _pack_segments(np.concatenate([header, w[:1]]), np.array([64, 64]))
+    xb = w[1:] ^ w[:-1]
+    nzb = xb != 0
+    xnz = xb[nzb]
+    lz = np.minimum(64 - _bit_length_u64(xnz), 63).astype(np.uint64)
+    tz = _ctz_u64(xnz).astype(np.uint64)
+    ml = _U64(64) - lz - tz
+    ml_i = ml.astype(np.int64)
+    # run k (k≥1) starts at dense position Σ L[:k]; its boundary is dense
+    # delta index (position − 1); delta j sits at bit offset
+    # 128 + j + (total extra bits of records at earlier deltas)
+    pos = np.cumsum(L)[:-1]
+    dj = pos[nzb] - 1
+    extra = 12 + ml_i
+    rec_off = 128 + dj + np.concatenate([[0], np.cumsum(extra[:-1])])
+    total_bits = 128 + (n - 1) + int(extra.sum())
+    m = xnz.size
+    seg_v = np.empty(2 + 2 * m, dtype=np.uint64)
+    seg_l = np.empty(2 + 2 * m, dtype=np.int64)
+    seg_s = np.empty(2 + 2 * m, dtype=np.int64)
+    seg_v[0], seg_l[0], seg_s[0] = _U64(n), 64, 0
+    seg_v[1], seg_l[1], seg_s[1] = w[0], 64, 64
+    seg_v[2::2] = (_ONE << _U64(12)) | (lz << _U64(6)) | (ml - _ONE)
+    seg_l[2::2] = 13
+    seg_s[2::2] = rec_off
+    seg_v[3::2] = xnz >> tz
+    seg_l[3::2] = ml_i
+    seg_s[3::2] = rec_off + 13
+    return _pack_segments_at(seg_v, seg_l, seg_s, total_bits)
+
+
+def gorilla_encode_runs_blocks(
+    run_values: np.ndarray, run_lengths: np.ndarray, block_bounds: np.ndarray
+) -> list[bytes]:
+    """Batched :func:`gorilla_encode_runs`: encode MANY blocks in one
+    vectorized pass. Block ``b``'s runs are
+    ``run_values[block_bounds[b]:block_bounds[b+1]]`` (same for lengths);
+    returns one ``bytes`` per block, each byte-identical to
+    ``gorilla_encode(np.repeat(...))`` of that block's runs.
+
+    Why: the fused encode kernel emits ~tens of runs per block; per-block
+    calls spend more time in numpy dispatch than in compute (profiled
+    ~60% of kernel CPU). Here every stage — bit-length, offsets,
+    cumsums, the or-scatter pack — runs ONCE over all blocks' records,
+    into a single words buffer with each block's stream 64-bit aligned,
+    then sliced per block (alignment makes the byteswapped slice of the
+    shared buffer equal to the standalone encoding).
+    """
+    bounds = np.asarray(block_bounds, dtype=np.int64)
+    nblocks = bounds.size - 1
+    if nblocks <= 0:
+        return []
+    L = np.asarray(run_lengths, dtype=np.int64)
+    blk = np.repeat(np.arange(nblocks, dtype=np.int64), np.diff(bounds))
+    keep = L > 0
+    w = np.ascontiguousarray(run_values, dtype=np.float64).view(np.uint64)[keep]
+    L, blk = L[keep], blk[keep]
+
+    n_per = np.zeros(nblocks, dtype=np.int64)
+    np.add.at(n_per, blk, L)
+    has_v0 = np.zeros(nblocks, dtype=bool)
+    has_v0[blk] = True  # block has ≥1 kept run ⇔ n ≥ 1
+    first_idx = np.searchsorted(blk, np.arange(nblocks))  # valid where has_v0
+
+    # records: run boundaries within one block whose XOR is non-zero
+    xb = w[1:] ^ w[:-1]
+    rec = (blk[1:] == blk[:-1]) & (xb != 0)
+    xnz = xb[rec]
+    rec_blk = blk[1:][rec]
+    lz = np.minimum(64 - _bit_length_u64(xnz), 63).astype(np.uint64)
+    tz = _ctz_u64(xnz).astype(np.uint64)
+    ml = _U64(64) - lz - tz
+    ml_i = ml.astype(np.int64)
+    extra = 12 + ml_i
+
+    # dense position of each run inside its block → record delta index
+    cstart = np.cumsum(L) - L  # global start position of each run
+    block_pos0 = np.zeros(nblocks, dtype=np.int64)
+    block_pos0[has_v0] = cstart[first_idx[has_v0]]
+    pos_in_block = cstart - block_pos0[blk]
+    dj = pos_in_block[1:][rec] - 1
+
+    # within-block exclusive cumsum of record extras
+    excl = np.cumsum(extra) - extra
+    rec_first = np.searchsorted(rec_blk, np.arange(nblocks))
+    has_rec = np.zeros(nblocks, dtype=bool)
+    has_rec[rec_blk] = True
+    rec_base = np.zeros(nblocks, dtype=np.int64)
+    rec_base[has_rec] = excl[rec_first[has_rec]]
+    within = excl - rec_base[rec_blk]
+    rec_off = 128 + dj + within
+
+    extra_per = np.zeros(nblocks, dtype=np.int64)
+    np.add.at(extra_per, rec_blk, extra)
+    total_bits = np.where(
+        n_per >= 1, 128 + (n_per - 1) + extra_per, 64
+    )
+    padded = (total_bits + 63) >> 6 << 6  # word-align each block's stream
+    base = np.cumsum(padded) - padded
+
+    m = xnz.size
+    nh = int(has_v0.sum())
+    seg_v = np.empty(nblocks + nh + 2 * m, dtype=np.uint64)
+    seg_l = np.empty(seg_v.size, dtype=np.int64)
+    seg_s = np.empty(seg_v.size, dtype=np.int64)
+    seg_v[:nblocks] = n_per.astype(np.uint64)
+    seg_l[:nblocks] = 64
+    seg_s[:nblocks] = base
+    sl = slice(nblocks, nblocks + nh)
+    seg_v[sl] = w[first_idx[has_v0]]
+    seg_l[sl] = 64
+    seg_s[sl] = base[has_v0] + 64
+    rb = base[rec_blk]
+    sl = slice(nblocks + nh, nblocks + nh + m)
+    seg_v[sl] = (_ONE << _U64(12)) | (lz << _U64(6)) | (ml - _ONE)
+    seg_l[sl] = 13
+    seg_s[sl] = rb + rec_off
+    sl = slice(nblocks + nh + m, None)
+    seg_v[sl] = xnz >> tz
+    seg_l[sl] = ml_i
+    seg_s[sl] = rb + rec_off + 13
+    data = _pack_segments_at(seg_v, seg_l, seg_s, int(padded.sum()))
+    b0 = (base >> 3).tolist()
+    nb = ((total_bits + 7) >> 3).tolist()
+    return [data[o : o + k] for o, k in zip(b0, nb)]
+
+
 def gorilla_decode(data: bytes) -> np.ndarray:
     r = _BitReader(data)
     n = r.read(64)

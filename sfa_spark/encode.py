@@ -28,6 +28,7 @@ from sfa_spark.codecs import (
     dod_encode_dense,
     gorilla_decode,
     gorilla_encode,
+    gorilla_encode_runs_blocks,
 )
 from sfa_spark.rollup import TIERS
 
@@ -96,6 +97,7 @@ def encode_tier_blocks_gapfill(
     value_col: str = "last",
     ts_col: str = "bucket_ts",
     max_block: int = 4096,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Fused LOCF gap-fill + block encode — the scale path.
 
@@ -123,11 +125,14 @@ def encode_tier_blocks_gapfill(
     bucket_us = int(bucket_s) * 1_000_000
     chunk_us = bucket_us * max_block
     spark = tier_df.sparkSession
-    # 4 waves of tasks per core: with one partition per core the slowest
+    # 2 waves of tasks per core: with one partition per core the slowest
     # (most key-skewed) partition sets the stage wall time; smaller
-    # partitions let the scheduler smooth the variance (classic
-    # straggler mitigation — matters more the more cores there are)
-    n_part = spark.sparkContext.defaultParallelism * 4
+    # partitions let the scheduler smooth the variance (straggler
+    # mitigation). Profiled at both 8 and 32 pinned cores: ×2 beats both
+    # ×1 (stragglers) and ×4/×8 (per-partition python+Arrow setup grows
+    # linearly with partition count and dominates once the kernel is
+    # O(observed) — jobs/encode_profile.py sweep, BENCH/BASELINE.md)
+    n_part = partitions or spark.sparkContext.defaultParallelism * 2
 
     # ONE pass over the observed buckets: shuffle by key (explicit N — AQE
     # upstream may have coalesced to fewer partitions than cores), sort
@@ -161,11 +166,21 @@ def encode_tier_blocks_gapfill(
         # RAM at once. Correctness relies on the repartition+sort above —
         # a key's rows are contiguous and time-ordered across batches.
 
-        # columnar accumulators — per-block python overhead kept to appends
+        # columnar accumulators — per-block python overhead kept to
+        # appends; the value runs are only ENCODED at flush time, all
+        # blocks in one vectorized pass (gorilla_encode_runs_blocks —
+        # per-block numpy dispatch was ~60% of kernel CPU)
         acc: dict[str, list] = {c: [] for c in key_cols}
-        acc.update(block_id=[], start_us=[], n=[], dod=[], gor=[])
+        acc.update(block_id=[], start_us=[], n=[], dod=[], runs_v=[], runs_l=[])
 
         def flush():
+            bounds = np.zeros(len(acc["runs_v"]) + 1, dtype=np.int64)
+            np.cumsum([a.size for a in acc["runs_v"]], out=bounds[1:])
+            gor = gorilla_encode_runs_blocks(
+                np.concatenate(acc["runs_v"]),
+                np.concatenate(acc["runs_l"]),
+                bounds,
+            )
             out = pd.DataFrame(
                 {
                     **{c: acc[c] for c in key_cols},
@@ -175,11 +190,11 @@ def encode_tier_blocks_gapfill(
                     ),
                     "n": np.asarray(acc["n"], dtype=np.int32),
                     "dod_blob": acc["dod"],
-                    "gorilla_blob": acc["gor"],
+                    "gorilla_blob": gor,
                 }
             )
             out["raw_bytes"] = out["n"].astype(np.int64) * 16
-            out["enc_bytes"] = [len(a) + len(b) for a, b in zip(acc["dod"], acc["gor"])]
+            out["enc_bytes"] = [len(a) + len(b) for a, b in zip(acc["dod"], gor)]
             for v in acc.values():
                 v.clear()
             return out
@@ -205,18 +220,29 @@ def encode_tier_blocks_gapfill(
                 if hi is not None:
                     end = min(end, hi)
                 n_ts = (end - start) // bucket_us + 1
-                vals = np.full(n_ts, carry_v)
                 j0, j1 = np.searchsorted(k_us, [start, end + 1])
-                if j1 > j0:
-                    idx = (k_us[j0:j1] - start) // bucket_us
-                    scatter = np.full(n_ts, np.nan)
-                    scatter[idx] = k_v[j0:j1]
-                    seen = np.maximum.accumulate(
-                        np.where(~np.isnan(scatter), np.arange(n_ts), -1)
-                    )
-                    fill = seen >= 0
-                    vals[fill] = scatter[seen[fill]]
-                carry_v = vals[-1] if n_ts else carry_v
+                obs_v = k_v[j0:j1]
+                valid = ~np.isnan(obs_v)
+                if valid.any():
+                    # LOCF output is runs: carry until the first
+                    # observation, then each observation repeated to the
+                    # next — encode straight from that structure, O(obs)
+                    # per block, never materializing the dense values.
+                    # NaN observations carry no value (LOCF skips them),
+                    # matching the dense scatter+forward-fill exactly.
+                    obs_v = obs_v[valid]
+                    idx = (k_us[j0:j1][valid] - start) // bucket_us
+                    run_vals = np.empty(obs_v.size + 1, dtype=np.float64)
+                    run_vals[0] = carry_v
+                    run_vals[1:] = obs_v
+                    run_lens = np.empty(obs_v.size + 1, dtype=np.int64)
+                    run_lens[0] = idx[0]
+                    run_lens[1:-1] = np.diff(idx)
+                    run_lens[-1] = n_ts - idx[-1]
+                    carry_v = float(obs_v[-1])
+                else:  # pure-gap block: one carry run
+                    run_vals = np.array([carry_v])
+                    run_lens = np.array([n_ts], dtype=np.int64)
                 for c, kv in zip(key_cols, kvals):
                     acc[c].append(kv)
                 acc["block_id"].append(block_id)
@@ -226,7 +252,8 @@ def encode_tier_blocks_gapfill(
                 # their DoD stream is constructible without the generic
                 # delta/bit-scatter pipeline (byte-identical, tested)
                 acc["dod"].append(dod_encode_dense(start, bucket_us, n_ts))
-                acc["gor"].append(gorilla_encode(vals))
+                acc["runs_v"].append(run_vals)
+                acc["runs_l"].append(run_lens)
 
         def finish_key():
             """Emit all remaining blocks of cur_key (end clamped at its

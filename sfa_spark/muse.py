@@ -25,7 +25,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from sfa_spark.classifiers import _stratified_folds, parallel_map
+from sfa_spark.classifiers import _stratified_folds, grid_map, parallel_map
 from sfa_spark.transform import mft as _mft
 from sfa_spark.transform import sfa as _sfa
 from sfa_spark.weasel import _chi_squared_filter, _fit_lr, _fit_lr_np, _predict_lr, _to_matrix
@@ -148,9 +148,13 @@ def fit_muse(spark, samples: list[list[np.ndarray]], labels: np.ndarray) -> MUSE
     best = None
     for hist in (_sfa.EQUI_DEPTH, _sfa.EQUI_FREQUENCY):
         for norm_mean in (True, False):
-            fitted = parallel_map(
+            fitted = grid_map(
                 _fit_window_and_words_muse,
-                [(samples, w, norm_mean, hist) for w in windows],
+                (samples,),
+                [(w, norm_mean, hist) for w in windows],
+                spark=spark,
+                work_points=sum(len(d) for dims in samples for d in dims)
+                * len(windows),
             )
             sfa_models = [m for m, _ in fitted]
             words = [ws for _, ws in fitted]

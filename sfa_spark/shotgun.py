@@ -25,7 +25,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from sfa_spark.classifiers import _vote, accuracy, parallel_map
+from sfa_spark.classifiers import _vote, accuracy, grid_map, parallel_map
 from sfa_spark.transform import mft as _mft
 
 MIN_WINDOW = 5
@@ -114,19 +114,22 @@ def fit_shotgun(
     labels: np.ndarray,
     factor: float = 1.0,
     min_window: int = MIN_WINDOW,
+    spark=None,
 ):
     """factor=1.0 → plain Shotgun (single best model per normMean grid);
     factor<1 → ensemble (list of models + weighted vote)."""
     labels = np.asarray(labels, dtype=np.float64)
     max_len = max(len(s) for s in series)
+    n_points = sum(len(s) for s in series)
     best_single, best_members = None, None
     for norm_mean in (True, False):
-        cands = parallel_map(
+        windows = list(range(min(MAX_WINDOW, max_len), min_window - 1, -1))
+        cands = grid_map(
             _shotgun_fit_window,
-            [
-                (series, labels, w, norm_mean)
-                for w in range(min(MAX_WINDOW, max_len), min_window - 1, -1)
-            ],
+            (series, labels),
+            [(w, norm_mean) for w in windows],
+            spark=spark,
+            work_points=n_points * len(windows),
         )
         best_train = max((m.train_score for m in cands), default=0)
         members = [m for m in cands if m.train_score >= best_train * factor]

@@ -29,7 +29,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from sfa_spark.classifiers import _stratified_folds, parallel_map
+from sfa_spark.classifiers import _stratified_folds, grid_map, parallel_map
 from sfa_spark.transform import sfa as _sfa
 from sfa_spark.transform.sfa_supervised import SupervisedSFAModel, f_oneway
 from sfa_spark.transform import mft as _mft
@@ -269,10 +269,14 @@ def fit_weasel(spark, series: list[np.ndarray], labels: np.ndarray) -> WEASELMod
     best = None  # (correct, norm, f, sfa_models, words)
     for norm_mean in (True, False):
         # per-window supervised fit + all-series transform: the reference's
-        # ParallelFor grid (WEASEL.java:102-118), fork-pool parallel
-        fitted = parallel_map(
+        # ParallelFor grid (WEASEL.java:102-118) — fork-pool at bundled
+        # scale, Spark tasks w/ broadcast series on a real corpus
+        fitted = grid_map(
             _fit_window_and_words,
-            [(series, labels, w, norm_mean) for w in windows],
+            (series, labels),
+            [(w, norm_mean) for w in windows],
+            spark=spark,
+            work_points=sum(len(s) for s in series) * len(windows),
         )
         sfa_models = [m for m, _ in fitted]
         words = [ws for _, ws in fitted]

@@ -109,3 +109,68 @@ def test_dod_encode_dense_byte_identical():
                         (123, 60_000_000, 4096), (-50, 3, 17)]:
         ts = t0 + step * np.arange(n, dtype=np.int64)
         assert dod_encode_dense(t0, step, n) == dod_encode(ts), (t0, step, n)
+
+
+def test_gorilla_encode_runs_byte_identical():
+    """gorilla_encode_runs(vals, lens) ≡ gorilla_encode(np.repeat(vals,
+    lens)) byte-for-byte — including NaN runs, equal adjacent runs
+    (zero-XOR boundary → no record), zero-length runs (dropped, later
+    duplicate wins), single runs and length-1 totals."""
+    from sfa_spark.codecs import gorilla_encode_runs
+
+    rng = np.random.default_rng(7)
+    cases = [
+        (np.array([1.5]), np.array([1])),
+        (np.array([1.5]), np.array([4096])),
+        (np.array([np.nan, 2.0, 2.0, -3.5]), np.array([5, 3, 7, 1])),
+        (np.array([np.nan]), np.array([100])),
+        (np.array([0.0, 0.0]), np.array([1, 1])),
+        (np.array([1.0, 2.0, 3.0]), np.array([2, 0, 5])),  # zero-length run
+        (np.array([], dtype=np.float64), np.array([], dtype=np.int64)),
+    ]
+    for _ in range(50):
+        k = int(rng.integers(1, 40))
+        vals = np.where(
+            rng.random(k) < 0.15,
+            np.nan,
+            rng.standard_normal(k) * 10.0 ** float(rng.integers(-3, 4)),
+        )
+        # occasional exact repeats across a boundary
+        for i in range(1, k):
+            if rng.random() < 0.2:
+                vals[i] = vals[i - 1]
+        lens = rng.integers(0, 50, size=k)
+        cases.append((vals, lens))
+    for vals, lens in cases:
+        dense = np.repeat(vals, lens)
+        assert gorilla_encode_runs(vals, lens) == gorilla_encode(dense), (vals, lens)
+
+
+def test_gorilla_encode_runs_blocks_byte_identical():
+    """Batched multi-block encoding ≡ per-block gorilla_encode_runs ≡
+    dense gorilla_encode, byte-for-byte — including empty blocks (n=0),
+    single-run blocks, NaN carries and zero-length runs."""
+    from sfa_spark.codecs import gorilla_encode_runs, gorilla_encode_runs_blocks
+
+    rng = np.random.default_rng(11)
+    for trial in range(30):
+        nblocks = int(rng.integers(1, 25))
+        vals_parts, lens_parts, bounds = [], [], [0]
+        for _ in range(nblocks):
+            k = int(rng.integers(0, 8))
+            v = np.where(rng.random(k) < 0.2, np.nan, rng.standard_normal(k))
+            for i in range(1, k):
+                if rng.random() < 0.25:
+                    v[i] = v[i - 1]
+            ln = rng.integers(0, 60, size=k)
+            vals_parts.append(v)
+            lens_parts.append(ln)
+            bounds.append(bounds[-1] + k)
+        rv = np.concatenate(vals_parts) if vals_parts else np.empty(0)
+        rl = np.concatenate(lens_parts) if lens_parts else np.empty(0, dtype=np.int64)
+        out = gorilla_encode_runs_blocks(rv, rl, np.array(bounds))
+        assert len(out) == nblocks
+        for b, (v, ln) in enumerate(zip(vals_parts, lens_parts)):
+            want = gorilla_encode_runs(v, ln)
+            assert out[b] == want, (trial, b, v, ln)
+            assert out[b] == gorilla_encode(np.repeat(v, ln))
