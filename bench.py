@@ -361,13 +361,20 @@ def write_scaling_md(s: dict, sf_dir: str) -> None:
         "--input <tier table>` splits the timed run's wall×cores budget",
         "into python-worker CPU, JVM CPU and idle from /proc accounting,",
         "and sweeps arrow.maxRecordsPerBatch / shuffle codec /",
-        "repartition fan-out. Round-3 findings on the 754.5M-point input:",
-        "batched run-encoding cut python CPU ~4× (99s → 24s at 32 cores);",
-        "zstd shuffle and ≥128k Arrow batches are regressions; after the",
-        "kernel fix the stage is no longer python-bound (py ~0.49,",
-        "jvm ~0.25, idle ~0.26 of capacity at 32 cores), so the scaling",
-        "input was grown 8× (SPARK_GRAFT_SCALE_REP=96) to keep fixed",
-        "per-job costs <10% of the smallest level's wall time.",
+        "repartition fan-out. Round-3 findings: batched run-encoding cut",
+        "python CPU ~4× (99s → 24s on the 754.5M-point input at 32",
+        "cores); zstd shuffle and ≥128k Arrow batches are regressions;",
+        "the scaling input was then grown 8× (SPARK_GRAFT_SCALE_REP=96)",
+        "to keep fixed per-job costs small at every level. On that 6.04B-",
+        "point input: 8 cores = py 0.65 / jvm 0.30 / idle 0.05 of",
+        "capacity (fully busy); 32 cores = py 0.52 / jvm 0.29 / idle",
+        "0.19 — and the SAME work costs +40% python CPU-seconds and +70%",
+        "JVM CPU-seconds at 32 active cores than at 8 (memory-stall cycle",
+        "inflation on the saturated DRAM bus; cores pegged, steal 0).",
+        "That inflation (the triad row above collapses to 0.078) plus the",
+        "19% idle tail IS the 8→32 gap: the job's 0.523 is ~74% of what",
+        "even the bare shared-nothing kernel achieves (0.705) on this",
+        "host pair.",
         "",
         "## bench.py cache policy (cross-round comparability)",
         "",

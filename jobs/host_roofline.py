@@ -55,25 +55,25 @@ def _alu(seed: int) -> float:
 
 
 def _kernel(seed: int) -> float:
-    from sfa_spark.codecs import dod_encode_dense, gorilla_encode
+    """The engine's ACTUAL value-encode kernel — run-aware and batched
+    across blocks exactly like encode.py's flush (one
+    gorilla_encode_runs_blocks call per 64-block batch, ~68 runs/block
+    like the bench workload) — in bare processes, no Spark."""
+    from sfa_spark.codecs import dod_encode_dense, gorilla_encode_runs_blocks
 
     rng = np.random.default_rng(seed)
+    nblocks, runs_per, n = 64, 68, 4096
+    bounds = np.arange(nblocks + 1, dtype=np.int64) * runs_per
+    rl = np.full(nblocks * runs_per, n // runs_per, dtype=np.int64)
+    rl[runs_per - 1 :: runs_per] += n - runs_per * (n // runs_per)
     pts = 0
     t0 = time.perf_counter()
-    for _ in range(60):
-        n = 4096
-        vals = np.repeat(rng.standard_normal(82), 50)[:n]
-        scatter = np.full(n, np.nan)
-        scatter[::3] = vals[::3]
-        seen = np.maximum.accumulate(
-            np.where(~np.isnan(scatter), np.arange(n), -1)
-        )
-        fill = seen >= 0
-        out = np.full(n, np.nan)
-        out[fill] = scatter[seen[fill]]
-        dod_encode_dense(0, 60_000_000, n)
-        gorilla_encode(out)
-        pts += n
+    for _ in range(800):
+        rv = rng.standard_normal(nblocks * runs_per)
+        for b in range(nblocks):
+            dod_encode_dense(0, 60_000_000, n)
+        gorilla_encode_runs_blocks(rv, rl, bounds)
+        pts += nblocks * n
     return pts / (time.perf_counter() - t0)  # points/sec
 
 

@@ -156,3 +156,119 @@ def refresh_tier(
 
 def read_tier(spark: SparkSession, table_root: str) -> DataFrame:
     return TableIO(table_root).read(spark)
+
+
+def refresh_encoded_tier(
+    spark: SparkSession,
+    tier_df: DataFrame,
+    table_root: str,
+    key_cols: list[str],
+    tier: str = "1m",
+    value_col: str = "last",
+    ts_col: str = "bucket_ts",
+    n_buckets: int = 64,
+    job: str = "encode_refresh",
+    recompute_stale: bool = True,
+) -> dict:
+    """Incrementally maintain the ENCODED blocks table from a committed
+    tier. Returns {planned, processed, skipped, stale, snapshot}.
+
+    The encoded table is partitioned by key-hash bucket
+    (``kb = pmod(xxhash64(keys), n_buckets)``), NOT by day: a block's
+    bytes depend on the key's whole history up to the block end (the
+    LOCF carry crosses epoch-aligned blocks), so time-sliced maintenance
+    would need carry-chain reasoning across partitions — key-sliced
+    maintenance doesn't. Late data for a key invalidates only that key's
+    bucket; the refresh re-encodes the full history of stale buckets
+    (work ∝ touched-buckets/n_buckets of the table, the Iceberg
+    rewrite-affected-file-groups shape) and carries every other bucket's
+    files forward by reference in the new snapshot manifest.
+
+    Staleness mirrors :func:`refresh_tier`: a per-bucket content
+    fingerprint (row count + order-independent xxhash64 sum over the
+    consumed columns) is recorded at each commit; a planned bucket
+    missing from the manifest (fresh build, resume after a kill, or an
+    ``n_buckets`` change) is computed, a committed bucket whose
+    fingerprint moved is stale. Per-bucket encode metrics (points, raw/
+    encoded bytes) land in the manifest — the north rule's per-partition
+    lineage manifests + encode metrics.
+    """
+    from sfa_spark.encode import encode_tier_blocks_gapfill
+
+    tio = TableIO(table_root)
+    kb = F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
+    consumed = [*key_cols, ts_col, value_col]
+    rows = (
+        tier_df.groupBy(kb.alias("kb"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(*consumed).cast("decimal(38,0)")).alias("h"),
+        )
+        .collect()
+    )
+    per_bucket = {str(r["kb"]): f'{r["n"]}:{r["h"]}' for r in rows}
+    planned = sorted(per_bucket, key=int)
+    missing = set(tio.missing_partitions(planned))
+    prev = (tio.manifest() or {}).get("metrics", {})
+    prev_fps = prev.get("fp_by_bucket", {})
+    stale = sorted(
+        (b for b in planned if b not in missing and prev_fps.get(b) != per_bucket[b]),
+        key=int,
+    )
+    to_process = (
+        sorted(missing | set(stale), key=int)
+        if recompute_stale
+        else sorted(missing, key=int)
+    )
+    if not to_process:
+        return {
+            "planned": planned,
+            "processed": [],
+            "skipped": planned,
+            "stale": stale,
+            "snapshot": tio.current_snapshot(),
+        }
+    sub = tier_df.filter(kb.isin([int(b) for b in to_process]))
+    blocks = (
+        encode_tier_blocks_gapfill(
+            sub, key_cols, tier=tier, value_col=value_col, ts_col=ts_col
+        )
+        .withColumn("kb", kb)
+        .cache()
+    )
+    enc_by_bucket = {
+        str(r["kb"]): {
+            "points": r["pts"],
+            "raw_bytes": r["raw"],
+            "enc_bytes": r["enc"],
+        }
+        for r in blocks.groupBy("kb")
+        .agg(
+            F.sum("n").alias("pts"),
+            F.sum("raw_bytes").alias("raw"),
+            F.sum("enc_bytes").alias("enc"),
+        )
+        .collect()
+    }
+    snap = tio.write_snapshot(
+        blocks,
+        "kb",
+        job=job,
+        metrics={
+            "tier": tier,
+            "n_buckets": n_buckets,
+            "fp_by_bucket": {**prev_fps, **{b: per_bucket[b] for b in to_process}},
+            "encode_by_bucket": {
+                **prev.get("encode_by_bucket", {}),
+                **enc_by_bucket,
+            },
+        },
+    )
+    blocks.unpersist()
+    return {
+        "planned": planned,
+        "processed": to_process,
+        "skipped": sorted(set(planned) - set(to_process), key=int),
+        "stale": stale,
+        "snapshot": snap,
+    }

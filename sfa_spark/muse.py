@@ -25,7 +25,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from sfa_spark.classifiers import _stratified_folds, grid_map, parallel_map
+from sfa_spark.classifiers import _stratified_folds, grid_map
 from sfa_spark.transform import mft as _mft
 from sfa_spark.transform import sfa as _sfa
 from sfa_spark.weasel import _chi_squared_filter, _fit_lr, _fit_lr_np, _predict_lr, _to_matrix

@@ -25,7 +25,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from sfa_spark.classifiers import _vote, accuracy, grid_map, parallel_map
+from sfa_spark.classifiers import _vote, accuracy, grid_map
 from sfa_spark.transform import mft as _mft
 
 MIN_WINDOW = 5

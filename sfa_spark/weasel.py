@@ -29,7 +29,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from sfa_spark.classifiers import _stratified_folds, grid_map, parallel_map
+from sfa_spark.classifiers import _stratified_folds, grid_map
 from sfa_spark.transform import sfa as _sfa
 from sfa_spark.transform.sfa_supervised import SupervisedSFAModel, f_oneway
 from sfa_spark.transform import mft as _mft

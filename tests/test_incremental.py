@@ -182,3 +182,72 @@ def test_tier_cascade_from_committed_snapshot(spark, events, tmp_path):
     for c in ("min", "max", "first", "last"):
         np.testing.assert_array_equal(got[c].values, want[c].values)
     np.testing.assert_allclose(got["sum"].values, want["sum"].values, rtol=1e-12)
+
+
+def test_refresh_encoded_tier_bucket_incremental(spark, events, tmp_path):
+    """Encoded-blocks maintenance: initial build commits every key
+    bucket; an unchanged refresh is a no-op; late data for ONE key
+    recomputes exactly that key's bucket (others carried forward by
+    reference); the final decoded table is bit-identical to a full
+    rebuild over the revised tier."""
+    from sfa_spark.encode import decode_blocks, encode_tier_blocks_gapfill
+    from sfa_spark.incremental import refresh_encoded_tier
+    from sfa_spark.tableio import TableIO
+
+    root = str(tmp_path / "enc_1m")
+    nb = 8
+    tier = rollup_tier(events, KEY, "ts", "value", "1m").cache()
+
+    r1 = refresh_encoded_tier(spark, tier, root, KEY, tier="1m", n_buckets=nb)
+    assert r1["processed"] == r1["planned"] and r1["stale"] == []
+
+    r2 = refresh_encoded_tier(spark, tier, root, KEY, tier="1m", n_buckets=nb)
+    assert r2["processed"] == [] and r2["snapshot"] == r1["snapshot"]
+
+    # late data: shift one key's value in one bucket → one stale bucket
+    uid = int(tier.select("user_id").first()["user_id"])
+    late_tier = tier.withColumn(
+        "last",
+        F.when(F.col("user_id") == uid, F.col("last") + 1.0).otherwise(
+            F.col("last")
+        ),
+    )
+    r3 = refresh_encoded_tier(spark, late_tier, root, KEY, tier="1m", n_buckets=nb)
+    expected_kb = str(
+        tier.filter(F.col("user_id") == uid)
+        .select(F.pmod(F.xxhash64("user_id"), F.lit(nb)).cast("int").alias("kb"))
+        .first()["kb"]
+    )
+    assert r3["stale"] == [expected_kb]
+    assert r3["processed"] == [expected_kb]
+    assert set(r3["skipped"]) == set(r1["planned"]) - {expected_kb}
+
+    # untouched buckets' files are referenced from the FIRST snapshot
+    m = TableIO(root).manifest()
+    carried = [
+        p for k, p in m["partitions"].items() if k != expected_kb
+    ]
+    assert all(p["path"].startswith(r1["snapshot"]) for p in carried)
+    # per-bucket encode metrics recorded for every bucket
+    assert set(m["metrics"]["encode_by_bucket"]) == set(r1["planned"])
+
+    got = (
+        decode_blocks(TableIO(root).read(spark).drop("kb"), KEY)
+        .toPandas()
+        .sort_values(["user_id", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    want = (
+        decode_blocks(encode_tier_blocks_gapfill(late_tier, KEY, tier="1m"), KEY)
+        .toPandas()
+        .sort_values(["user_id", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    np.testing.assert_array_equal(
+        got["value"].values.view(np.uint64), want["value"].values.view(np.uint64)
+    )
+    np.testing.assert_array_equal(
+        got["bucket_ts"].values, want["bucket_ts"].values
+    )
+    tier.unpersist()
