@@ -124,27 +124,38 @@ def sfa_downsample_words(
     Series index ``t`` is the dense bucket row number (buckets are regular
     after gap-fill, so integer positions == time order).
     """
-    from pyspark.sql.window import Window as W
-
     from sfa_spark.transform.sfa_df import fit_windowing_df, transform_windowing_df
 
-    w = W.partitionBy("url", "signal").orderBy("bucket_ts")
-    series = (
-        filled_tier.withColumn("t", F.row_number().over(w))
-        .withColumn("series_id", F.xxhash64("url", "signal"))
-        .select("series_id", "url", "signal", "t", F.col("last").alias("value"))
+    # the kernels only need a MONOTONIC order key per series — the dense
+    # gap-filled bucket_ts already is one, so no row_number window (that
+    # was a full shuffle+sort just to relabel an existing order)
+    series = filled_tier.select(
+        F.xxhash64("url", "signal").alias("series_id"),
+        "url",
+        "signal",
+        F.unix_micros("bucket_ts").alias("t"),
+        F.col("last").alias("value"),
     )
-    # the fit stage materializes `series` eagerly (bin edges are collected
-    # and broadcast) and the transform stage reads it again — persist so
-    # the upstream tier cascade + LOCF window compute once, not twice.
-    # (fit is the heaviest bench query's dominant cost otherwise.)
+    # Coarse-group batching: G pandas groups total (not one per series) —
+    # each group stacks its series and runs the znorm/DFT/quantize math
+    # as matrix passes (mft *_rows kernels, bit-identical), so per-group
+    # python+Arrow overhead is paid G times instead of once per series.
+    # Partition ONCE by the same bucket expression, persisted: the fit
+    # stage materializes it eagerly (bin edges are collected + broadcast)
+    # and the transform stage reads it again with no further exchange.
     # (not unpersisted here: the returned plan still reads it — Spark's
     # LRU storage eviction reclaims the blocks once the job is done)
-    series = series.persist()
+    g = spark.sparkContext.defaultParallelism * 4
+    series = series.repartition(
+        F.pmod(F.xxhash64("series_id"), F.lit(g)).cast("int")
+    ).persist()
     model = fit_windowing_df(
         series, "series_id", "t", "value",
         window_size, word_length, alphabet_size, norm_mean=True,
+        group_buckets=g,
     )
-    words = transform_windowing_df(series, model, "series_id", "t", "value", pack=True)
+    words = transform_windowing_df(
+        series, model, "series_id", "t", "value", pack=True, group_buckets=g
+    )
     names = series.select("series_id", "url", "signal").distinct()
     return words.join(names, "series_id").select("url", "signal", "offset", "word")

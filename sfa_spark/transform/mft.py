@@ -247,3 +247,152 @@ def transform_windowing(
         pos = stds > 0
         factor[pos] = norm / stds[pos]
     return out * factor[:, None] * _alternating_sign(l)[None, :]
+
+
+# --------------------------------------------------------------------------
+# batched (multi-series / multi-window) variants — bit-identical to mapping
+# the scalar functions, with numpy dispatch paid once per BATCH instead of
+# once per series/window. At 10^9 series the per-group python overhead is
+# the scale bottleneck, not the math.
+# --------------------------------------------------------------------------
+
+def znorm_rows(X: np.ndarray, norm_mean: bool = True) -> np.ndarray:
+    """Row-wise :func:`znorm` over an (N, w) matrix — same sequential
+    cumsum-order sums per row, same σ=0 → factor 1.0 guard."""
+    X = np.asarray(X, dtype=np.float64)
+    if X.shape[1] == 0:
+        return X.copy()
+    w = X.shape[1]
+    mean = np.cumsum(X, axis=1)[:, -1] / w
+    buf = (1.0 / w) * np.cumsum(X * X, axis=1)[:, -1] - mean * mean
+    pos = buf > 0
+    std = np.where(pos, np.sqrt(np.where(pos, buf, 1.0)), 0.0)
+    inv = np.where(std != 0, 1.0 / np.where(std != 0, std, 1.0), 1.0)
+    if norm_mean:
+        return (X - mean[:, None]) * inv[:, None]
+    return X * inv[:, None]  # ×1.0 is a bitwise no-op for finite values
+
+
+def transform_rows(
+    X: np.ndarray,
+    window_size: int,
+    l: int,
+    norm_mean: bool,
+    lower_bounding: bool = True,
+) -> np.ndarray:
+    """Row-wise :func:`transform` over an (N, m≤window_size) matrix of
+    (already-normed) windows — one batched rfft for the whole stack."""
+    X = np.asarray(X, dtype=np.float64)
+    n_rows, m = X.shape
+    start_offset = 2 if norm_mean else 0
+    norm = 1.0 / np.sqrt(window_size) if lower_bounding else 1.0
+    data = np.zeros((n_rows, window_size), dtype=np.float64)
+    data[:, : min(m, window_size)] = X[:, : min(m, window_size)]
+    c = np.fft.rfft(data, axis=1)
+    full = np.empty((n_rows, 2 * c.shape[1]), dtype=np.float64)
+    full[:, 0::2] = c.real
+    full[:, 1::2] = c.imag
+    full[:, 1] = 0.0
+    slots = np.zeros((n_rows, window_size), dtype=np.float64)
+    k = min(window_size, full.shape[1])
+    slots[:, :k] = full[:, :k]
+    out = np.zeros((n_rows, l), dtype=np.float64)
+    length = min(window_size - start_offset, l)
+    if length > 0:
+        out[:, :length] = slots[:, start_offset : start_offset + length]
+    return out * (norm * _alternating_sign(l))[None, :]
+
+
+def incremental_mean_std_rows(
+    X: np.ndarray, window_size: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Row-wise :func:`incremental_mean_std` over (S, n) equal-length
+    series — same running-accumulator op order per row (cumsum)."""
+    X = np.asarray(X, dtype=np.float64)
+    s, n = X.shape
+    end = max(1, n - window_size + 1)
+    r = 1.0 / window_size
+    w0 = X[:, : min(n, window_size)]
+    s0 = np.cumsum(w0, axis=1)[:, -1] if w0.shape[1] else np.zeros(s)
+    q0 = np.cumsum(w0 * w0, axis=1)[:, -1] if w0.shape[1] else np.zeros(s)
+    if end > 1:
+        d = X[:, window_size:n] - X[:, : n - window_size]
+        e = (
+            X[:, window_size:n] * X[:, window_size:n]
+            - X[:, : n - window_size] * X[:, : n - window_size]
+        )
+        sums = np.cumsum(np.concatenate([s0[:, None], d], axis=1), axis=1)
+        sqsums = np.cumsum(np.concatenate([q0[:, None], e], axis=1), axis=1)
+    else:
+        sums = s0[:, None]
+        sqsums = q0[:, None]
+    means = sums * r
+    buf = sqsums * r - means * means
+    stds = np.sqrt(np.maximum(buf, 0.0))
+    stds[buf <= 0] = 0.0
+    return means, stds
+
+
+def transform_windowing_rows(
+    X: np.ndarray,
+    window_size: int,
+    l: int,
+    norm_mean: bool,
+    lower_bounding: bool = True,
+    apply_z_norm: bool = True,
+) -> np.ndarray:
+    """Row-wise :func:`transform_windowing` (mft recurrence) over (S, n)
+    equal-length series with n ≥ window_size → (S, n_windows, l).
+
+    Same closed-form recurrence, complex cumsum along the window axis
+    (sequential per series, bit-matching the scalar path); the batch
+    shares the θ/rotation tables across series.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    s, n = X.shape
+    if n < window_size:
+        raise ValueError("transform_windowing_rows requires n >= window_size")
+    start_offset = 2 if norm_mean else 0
+    norm = 1.0 / np.sqrt(window_size) if lower_bounding else 1.0
+    wl = effective_word_length(window_size, l, norm_mean)
+    n_windows = n - window_size + 1
+
+    means, stds = incremental_mean_std_rows(X, window_size)
+
+    n_coef = wl // 2
+    # first window per series — one batched rfft
+    c = np.fft.rfft(X[:, :window_size], axis=1)
+    full = np.empty((s, 2 * c.shape[1]), dtype=np.float64)
+    full[:, 0::2] = c.real
+    full[:, 1::2] = c.imag
+    full[:, 1] = 0.0
+    first = np.zeros((s, wl), dtype=np.float64)
+    k = min(window_size, wl, full.shape[1])
+    first[:, :k] = full[:, :k]
+    f0 = first[:, 0::2] + 1j * first[:, 1::2]  # (S, n_coef)
+
+    theta = 2.0 * np.pi * np.arange(n_coef) / window_size
+    fk = np.empty((s, n_windows, n_coef), dtype=np.complex128)
+    fk[:, 0] = f0
+    if n_windows > 1:
+        d = X[:, window_size:n] - X[:, : n - window_size]  # (S, T-1)
+        j = np.arange(n_windows - 1)
+        damp = np.exp(-1j * np.outer(j, theta))  # (T-1, n_coef)
+        sacc = np.cumsum(d[:, :, None] * damp[None, :, :], axis=1)
+        t = np.arange(1, n_windows)
+        rot = np.exp(1j * np.outer(t, theta))
+        fk[:, 1:] = rot[None, :, :] * (f0[:, None, :] + sacc)
+    slots = np.empty((s, n_windows, wl), dtype=np.float64)
+    slots[:, :, 0::2] = fk.real
+    slots[:, :, 1::2] = fk.imag
+
+    out = np.zeros((s, n_windows, l), dtype=np.float64)
+    length = min(l, wl - start_offset)
+    if length > 0:
+        out[:, :, :length] = slots[:, :, start_offset : start_offset + length]
+
+    factor = np.full((s, n_windows), norm, dtype=np.float64)
+    if apply_z_norm:
+        pos = stds > 0
+        factor[pos] = norm / stds[pos]
+    return out * factor[:, :, None] * _alternating_sign(l)[None, None, :]

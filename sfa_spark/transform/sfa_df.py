@@ -28,6 +28,14 @@ from sfa_spark.transform import sfa as _sfa
 from sfa_spark.transform.sfa import SFAModel
 
 
+def _series_bounds(keys: np.ndarray) -> np.ndarray:
+    """Start indices of each key's contiguous run (input sorted by key)."""
+    change = np.empty(keys.size, dtype=bool)
+    change[0] = True
+    change[1:] = keys[1:] != keys[:-1]
+    return np.flatnonzero(change)
+
+
 def fit_windowing_df(
     df: DataFrame,
     key_col: str,
@@ -39,10 +47,19 @@ def fit_windowing_df(
     norm_mean: bool,
     lower_bounding: bool = True,
     histogram_type: str = _sfa.EQUI_DEPTH,
+    group_buckets: int | None = None,
 ) -> SFAModel:
     """Fit MCB bins on the disjoint windows of every series in ``df``.
 
     Distributed equivalent of SFA.fitWindowing (SFA.java:269-279).
+
+    With ``group_buckets=G`` the per-series grouping is coarsened to
+    ``pmod(xxhash64(key), G)`` and each pandas group batches ALL its
+    series' disjoint windows through one znorm_rows+transform_rows pass —
+    per-group python/Arrow overhead is paid G times, not once per series
+    (the scale bottleneck at millions of keys). Identical output: the
+    windows are the same rows in either grouping and the bin fit is a
+    global regroup by coefficient anyway.
     """
     wl = word_length
 
@@ -64,9 +81,43 @@ def fit_windowing_df(
             }
         )
 
-    orderline = df.groupBy(key_col).applyInPandas(
-        approx_per_series, schema="coef int, value double"
-    )
+    def approx_per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([key_col, t_col])
+        keys = pdf[key_col].to_numpy()
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        starts = _series_bounds(keys)
+        ends = np.append(starts[1:], keys.size)
+        # disjoint windows are contiguous slices — one reshape per series,
+        # stacked into a single (N_windows, w) matrix for the whole group
+        wins = [
+            vals[s : s + ((e - s) // window_size) * window_size].reshape(
+                -1, window_size
+            )
+            for s, e in zip(starts, ends)
+        ]
+        wins = [w_ for w_ in wins if w_.shape[0]]
+        if not wins:
+            return pd.DataFrame({"coef": np.array([], dtype=np.int32), "value": []})
+        stack = np.concatenate(wins, axis=0)
+        normed = _mft.znorm_rows(stack, norm_mean)
+        a = _mft.transform_rows(normed, window_size, wl, norm_mean, lower_bounding)
+        rounded = _sfa.java_round2dp(a)
+        return pd.DataFrame(
+            {
+                "coef": np.tile(np.arange(wl, dtype=np.int32), rounded.shape[0]),
+                "value": rounded.ravel(),
+            }
+        )
+
+    if group_buckets:
+        grp = F.pmod(F.xxhash64(key_col), F.lit(group_buckets)).cast("int")
+        orderline = df.groupBy(grp.alias("_grp")).applyInPandas(
+            approx_per_group, schema="coef int, value double"
+        )
+    else:
+        orderline = df.groupBy(key_col).applyInPandas(
+            approx_per_series, schema="coef int, value double"
+        )
 
     def fit_per_coef(pdf: pd.DataFrame) -> pd.DataFrame:
         coef = int(pdf["coef"].iloc[0])
@@ -111,6 +162,7 @@ def transform_windowing_df(
     value_col: str,
     pack: bool = True,
     method: str = "mft",
+    group_buckets: int | None = None,
 ) -> DataFrame:
     """Every sliding window of every series → SFA word.
 
@@ -118,6 +170,13 @@ def transform_windowing_df(
     or an array<short>. The fitted model travels as a broadcast via the
     UDF closure (a dict of floats — tiny); no shuffle beyond the
     per-series grouping, which reuses the fit stage's partitioning.
+
+    With ``group_buckets=G`` (same contract as :func:`fit_windowing_df`)
+    each coarse pandas group segments its series, stacks equal-length
+    ones and runs the windowed MFT + quantize + pack as ONE matrix pass
+    per length class (mft.transform_windowing_rows — bit-identical to
+    the scalar recurrence); series shorter than the window fall back to
+    the scalar path inside the group.
     """
     model_dict = model.to_dict()
 
@@ -140,6 +199,70 @@ def transform_windowing_df(
             out["word"] = list(words)
         return out
 
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = SFAModel.from_dict(model_dict)
+        pdf = pdf.sort_values([key_col, t_col])
+        keys = pdf[key_col].to_numpy()
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        starts = _series_bounds(keys)
+        ends = np.append(starts[1:], keys.size)
+        lens = ends - starts
+        out_keys: list[np.ndarray] = []
+        out_off: list[np.ndarray] = []
+        out_words: list = []
+
+        def emit(k, words):  # words: (n_windows, l) symbols of ONE series
+            out_keys.append(np.full(words.shape[0], k, dtype=np.int64))
+            out_off.append(np.arange(words.shape[0], dtype=np.int32))
+            if pack:
+                out_words.append(
+                    _sfa.pack_words(words, m.word_length, m.needed_bits)
+                )
+            else:
+                out_words.extend(list(words))
+
+        for n in np.unique(lens):
+            sel = np.flatnonzero(lens == n)
+            if n >= m.window_size and method == "mft" and sel.size > 1:
+                X = np.stack([vals[starts[i] : ends[i]] for i in sel])
+                approx = _mft.transform_windowing_rows(
+                    X, m.window_size, m.word_length, m.norm_mean, m.lower_bounding
+                )
+                words3 = _sfa.quantize(approx, m.bins)  # (S, T, l)
+                T = words3.shape[1]
+                ks = keys[starts[sel]]
+                out_keys.append(np.repeat(ks, T))
+                out_off.append(np.tile(np.arange(T, dtype=np.int32), sel.size))
+                if pack:
+                    out_words.append(
+                        _sfa.pack_words(
+                            words3, m.word_length, m.needed_bits
+                        ).ravel()
+                    )
+                else:
+                    out_words.extend(list(words3.reshape(-1, words3.shape[-1])))
+            else:
+                for i in sel:
+                    emit(
+                        keys[starts[i]],
+                        m.transform_windowing(vals[starts[i] : ends[i]], method=method),
+                    )
+        out = pd.DataFrame(
+            {
+                key_col: np.concatenate(out_keys) if out_keys else np.array([], dtype=np.int64),
+                "offset": np.concatenate(out_off) if out_off else np.array([], dtype=np.int32),
+            }
+        )
+        out["word"] = (
+            (np.concatenate(out_words) if out_words else np.array([], dtype=np.int64))
+            if pack
+            else out_words
+        )
+        return out
+
+    if group_buckets:
+        grp = F.pmod(F.xxhash64(key_col), F.lit(group_buckets)).cast("int")
+        return df.groupBy(grp.alias("_grp")).applyInPandas(per_group, schema=schema)
     return df.groupBy(key_col).applyInPandas(per_series, schema=schema)
 
 
