@@ -104,6 +104,11 @@ def run_queries(spark, sf_dir: str, n_urls: int) -> tuple[dict, dict]:
 
 def bench_once(cores: int, sf_dir: str, n_urls: int) -> dict:
     spark = _fresh_spark(cores)
+    # same policy as the scaling path: a cluster job amortizes the python
+    # worker pool spawn + numpy/pandas imports over hours — don't charge
+    # it to whichever query happens to hit the first pandas UDF (~2.7s
+    # one-time at 32 cores, measured)
+    _warm_workers(spark, cores)
     times, extras = run_queries(spark, sf_dir, n_urls)
     spark.stop()
     return {"times": times, "extras": extras, "total": round(sum(times.values()), 3)}
