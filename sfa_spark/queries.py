@@ -683,16 +683,48 @@ def sfa_windowed_words_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transform_windowing_df(ser, model, "series_id", "t", "value", pack=True)
 
 
-@register("gorilla_blocks_1h")
+@register(
+    "gorilla_blocks_1h",
+    """
+WITH agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts FROM events GROUP BY 1, 2
+), span AS (
+  SELECT user_id,
+         epoch_us(min(bucket_ts)) AS first_us,
+         epoch_us(max(bucket_ts)) AS last_us
+  FROM agg GROUP BY 1
+), blocks AS (
+  SELECT user_id, first_us, last_us,
+         unnest(generate_series(first_us // 14745600000000,
+                                last_us // 14745600000000)) AS block_id
+  FROM span
+)
+SELECT user_id, block_id,
+       CAST((least(block_id * 14745600000000 + 14745600000000 - 3600000000,
+                   last_us)
+             - greatest(block_id * 14745600000000, first_us)) // 3600000000
+            + 1 AS INT) AS n,
+       CAST(16 * ((least(block_id * 14745600000000 + 14745600000000
+                         - 3600000000, last_us)
+                   - greatest(block_id * 14745600000000, first_us))
+                  // 3600000000 + 1) AS BIGINT) AS raw_bytes
+FROM blocks
+""",
+)
 def gorilla_blocks_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fused LOCF gap-fill + Gorilla/DoD block encode of the 1h tier —
-    binary output, verified by round-trip decode (blob columns dropped
-    for the rows-only check; see tests for byte-level verification)."""
+    """Fused LOCF gap-fill + Gorilla/DoD block encode of the 1h tier.
+
+    The block SPINE (epoch-aligned block_id, clamped per-key span, point
+    count, raw bytes) is bit-exactly oracled against DuckDB deriving the
+    same blocks from first/last observation per key (chunk = 4096 × 1h
+    buckets = 14_745_600_000_000 µs). The binary blobs themselves are
+    verified by decode_roundtrip_1h (hash-exact vs DuckDB's own gap-fill)
+    and byte-level codec tests."""
     from sfa_spark.encode import encode_tier_blocks_gapfill
 
     t1h = rollup_tier(_events(spark, sf_dir), ["user_id"], "ts", "value", "1h")
     blocks = encode_tier_blocks_gapfill(t1h, "user_id", tier="1h")
-    return blocks.select("user_id", "block_id", "n", "raw_bytes", "enc_bytes")
+    return blocks.select("user_id", "block_id", "n", "raw_bytes")
 
 
 @register("minhash_near_dups")
