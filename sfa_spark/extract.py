@@ -47,13 +47,29 @@ def extract_text(html: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def extract_text_expr(html_col: str):
+    """JVM-side extraction expression — same grammar as
+    :func:`extract_text` (first ``<article>…</article>`` span, utf-8,
+    '' when absent) but built from ``decode``/``instr``/``substring`` so
+    the hot path never leaves whole-stage codegen (no python workers, no
+    Arrow transfer). Byte-equivalence with the pandas UDF is asserted in
+    tests (valid utf-8; both replace malformed sequences)."""
+    txt = F.decode(F.col(html_col), "UTF-8")
+    a = F.instr(txt, _OPEN)  # 1-based, 0 when absent
+    b = F.instr(txt, _CLOSE)
+    n = len(_OPEN)
+    return F.when(
+        (a > 0) & (b > a), F.substring(txt, a + n, b - a - n)
+    ).otherwise(F.lit(""))
+
+
 def with_signals(pages: DataFrame) -> DataFrame:
     """pages(url, warc_ts, html, lang, …) → + extracted_text, text_len,
     lang_stability. One shuffle (window by url) shared with everything
     downstream that groups by url."""
     w = W.partitionBy("url").orderBy("warc_ts")
     return (
-        pages.withColumn("extracted_text", extract_text("html"))
+        pages.withColumn("extracted_text", extract_text_expr("html"))
         .withColumn("text_len", F.length("extracted_text").cast("double"))
         .withColumn("prev_lang", F.lag("lang").over(w))
         .withColumn(
@@ -68,11 +84,15 @@ def with_signals(pages: DataFrame) -> DataFrame:
 
 def verify_extraction(pages: DataFrame) -> int:
     """Count rows where the extracted text is NOT byte-identical to the
-    ground-truth ``text`` column. Must be 0 (north-star invariant)."""
+    ground-truth ``text`` column — checks BOTH extraction paths (the
+    JVM expression the pipeline runs and the pandas-UDF reference).
+    Must be 0 (north-star invariant)."""
     return (
-        pages.withColumn("extracted_text", extract_text("html"))
+        pages.withColumn("_e_expr", extract_text_expr("html"))
+        .withColumn("_e_udf", extract_text("html"))
         .filter(
-            F.encode("extracted_text", "utf-8") != F.encode("text", "utf-8")
+            (F.encode("_e_expr", "utf-8") != F.encode("text", "utf-8"))
+            | (F.encode("_e_udf", "utf-8") != F.encode("text", "utf-8"))
         )
         .count()
     )

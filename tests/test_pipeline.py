@@ -131,3 +131,34 @@ def test_hot_keys_and_salted_agg(spark, pages):
     assert (agg["n"].values == direct["n"].values).all()
     np.testing.assert_array_equal(agg["mx"].values, direct["mx"].values)
     np.testing.assert_allclose(agg["sm"].values, direct["sm"].values, rtol=1e-9)
+
+
+def test_extract_expr_equals_udf_edge_cases(spark):
+    """The JVM extraction expression ≡ the pandas-UDF reference on edge
+    cases: no tags, close before open, empty article, nested/multiple
+    articles, empty html, null html."""
+    from sfa_spark.extract import extract_text, extract_text_expr
+
+    rows = [
+        ("<article>hello</article>",),
+        ("pre <article>a</article> mid <article>b</article>",),
+        ("</article>early<article>late</article>",),
+        ("<article></article>",),
+        ("no tags at all",),
+        ("<article>unclosed",),
+        ("closed only</article>",),
+        ("",),
+        (None,),
+        ("<article>üñïçødé ✓</article>",),
+    ]
+    df = spark.createDataFrame(rows, "s string").select(
+        F.encode("s", "utf-8").alias("html")
+    )
+    got = (
+        df.select(
+            extract_text_expr("html").alias("e"),
+            extract_text("html").alias("u"),
+        )
+        .toPandas()
+    )
+    assert (got["e"].fillna("") == got["u"].fillna("")).all(), got

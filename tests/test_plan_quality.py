@@ -83,3 +83,30 @@ def test_lsh_candidates_no_cartesian(spark, documents):
     sigs = minhash_signatures(documents.limit(50))
     p = plan_of(minhash_lsh_candidates(sigs))
     assert "CartesianProduct" not in p
+
+
+def test_sfa_words_plan_has_no_window_and_batched_groups(spark, events):
+    """The SFA downsample stage must stay window-free (order comes from
+    the dense bucket_ts, not a row_number shuffle+sort) and group by the
+    COARSE bucket (G groups), not per-series — the per-group Arrow/python
+    overhead is the 10^9-series bottleneck."""
+    from sfa_spark.pipeline import sfa_downsample_words
+    from sfa_spark.rollup import gap_fill_locf, rollup_tier
+
+    t = rollup_tier(
+        events.withColumn("url", F.concat(F.lit("u"), F.col("user_id")))
+        .withColumn("signal", F.lit("value"))
+        .limit(2000),
+        ["url", "signal"],
+        "ts",
+        "value",
+        "1h",
+    )
+    filled = gap_fill_locf(t, ["url", "signal"], "1h")
+    p = plan_of(sfa_downsample_words(spark, filled))
+    # upstream LOCF legitimately uses lag/last windows; the SFA stage must
+    # not reintroduce its row_number relabeling (a full shuffle+sort)
+    assert "row_number" not in p, "row_number window crept back into the SFA path"
+    assert "FlatMapGroupsInPandas" in p
+    # the grouping key must be the coarse pmod bucket, not the raw series id
+    assert "pmod" in p, p[:2000]
