@@ -484,19 +484,34 @@ def predict_bossvs(ens: BOSSVSEnsemble, series: list[np.ndarray]) -> np.ndarray:
 # Spark-distributed scoring (the big-data half)
 # --------------------------------------------------------------------------
 
-def predict_boss_ensemble_df(spark, ens: BOSSEnsemble, series_df, key_col, t_col, value_col):
-    """Score a long table of test series with a fitted ensemble: the
-    ensemble is a broadcast-sized artifact; scoring is per-series
-    applyInPandas — no shuffle beyond the series grouping."""
+def predict_df(spark, model, series_df, key_col, t_col, value_col, predict_fn):
+    """Distributed scoring for ANY fitted univariate classifier family:
+    the fitted model is a broadcast-sized artifact; scoring is
+    per-series applyInPandas — embarrassingly parallel, no shuffle
+    beyond the series grouping. ``predict_fn(model, [series])`` is the
+    family's local scorer (predict_boss_ensemble, predict_weasel, …);
+    the DF path equals the local path exactly (tested per family)."""
     import pandas as pd
 
-    bc = spark.sparkContext.broadcast(ens)
+    bc = spark.sparkContext.broadcast(model)
 
     def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf.sort_values(t_col)[value_col].to_numpy(dtype=np.float64)
-        pred = predict_boss_ensemble(bc.value, [x])[0]
+        pred = float(predict_fn(bc.value, [x])[0])
         return pd.DataFrame({key_col: [pdf[key_col].iloc[0]], "predicted": [pred]})
 
     return series_df.groupBy(key_col).applyInPandas(
         per_series, schema=f"{key_col} long, predicted double"
     )
+
+
+def predict_boss_ensemble_df(spark, ens: BOSSEnsemble, series_df, key_col, t_col, value_col):
+    """Score a long table of test series with a fitted ensemble (see
+    :func:`predict_df`)."""
+    return predict_df(
+        spark, ens, series_df, key_col, t_col, value_col, predict_boss_ensemble
+    )
+
+
+def predict_bossvs_df(spark, ens: BOSSVSEnsemble, series_df, key_col, t_col, value_col):
+    return predict_df(spark, ens, series_df, key_col, t_col, value_col, predict_bossvs)

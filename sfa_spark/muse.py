@@ -194,3 +194,30 @@ def predict_muse(model: MUSEModel, samples: list[list[np.ndarray]]) -> np.ndarra
     bags = _bags(words, model.windows, model.n_dims, model.features)
     mat = _to_matrix(bags, model.feature_index)
     return _predict_lr(model.lr_model, mat)
+
+
+def predict_muse_df(
+    spark, model: MUSEModel, series_df, key_col, dim_col, t_col, value_col
+):
+    """Distributed MUSE scoring over a long MULTIVARIATE table
+    (key, dim, t, value): broadcast model, one applyInPandas group per
+    sample, dims reassembled inside the kernel ordered by ``dim_col``.
+    The caller supplies the same channels the model was fit on (apply
+    :func:`with_derivatives` upstream if the fit used them). Equals
+    :func:`predict_muse` exactly — tested."""
+    import pandas as pd
+
+    bc = spark.sparkContext.broadcast(model)
+
+    def per_sample(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([dim_col, t_col])
+        dims = [
+            g[value_col].to_numpy(dtype=np.float64)
+            for _, g in pdf.groupby(dim_col, sort=True)
+        ]
+        pred = float(predict_muse(bc.value, [dims])[0])
+        return pd.DataFrame({key_col: [pdf[key_col].iloc[0]], "predicted": [pred]})
+
+    return series_df.groupBy(key_col).applyInPandas(
+        per_sample, schema=f"{key_col} long, predicted double"
+    )

@@ -147,3 +147,13 @@ def predict_shotgun(model_or_members, queries: list[np.ndarray]) -> np.ndarray:
         for m in model_or_members
     ]
     return _vote(per_model, len(queries))
+
+
+def predict_shotgun_df(spark, model_or_members, series_df, key_col, t_col, value_col):
+    """Distributed Shotgun scoring (broadcast model(s) + per-series
+    applyInPandas; equals :func:`predict_shotgun` exactly — tested)."""
+    from sfa_spark.classifiers import predict_df
+
+    return predict_df(
+        spark, model_or_members, series_df, key_col, t_col, value_col, predict_shotgun
+    )

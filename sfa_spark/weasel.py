@@ -326,3 +326,13 @@ def predict_weasel(model: WEASELModel, series: list[np.ndarray]) -> np.ndarray:
     bags = _bags_of_bigrams(words, model.windows, model.features)
     mat = _to_matrix(bags, model.feature_index)
     return _predict_lr(model.lr_model, mat)
+
+
+def predict_weasel_df(spark, model: WEASELModel, series_df, key_col, t_col, value_col):
+    """Distributed WEASEL scoring (broadcast model + per-series
+    applyInPandas; equals :func:`predict_weasel` exactly — tested)."""
+    from sfa_spark.classifiers import predict_df
+
+    return predict_df(
+        spark, model, series_df, key_col, t_col, value_col, predict_weasel
+    )
