@@ -154,3 +154,66 @@ def run_stream_once(
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def tier_batch_sink(tio, tier: str):
+    """The ``foreachBatch`` body for :func:`stream_tier_to_table`,
+    exposed for direct testing of the replay fence."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        m = tio.manifest() or {}
+        done = m.get("metrics", {}).get("stream_batch_id", -1)
+        if batch_id <= done:
+            return  # replayed batch — already committed
+        rows = batch_df.withColumn("dt", F.to_date("bucket_ts"))
+        if rows.isEmpty():
+            return
+        tio.write_snapshot(
+            rows,
+            "dt",
+            job=f"stream_batch_{batch_id}",
+            metrics={"tier": tier, "stream_batch_id": batch_id},
+            merge_partitions=True,
+        )
+
+    return sink
+
+
+def stream_tier_to_table(
+    spark: SparkSession,
+    stream: DataFrame,
+    table_root: str,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    tier: str = "1m",
+    watermark: str = "10 minutes",
+    checkpoint_dir: str | None = None,
+    query_name: str = "tier_stream_sink",
+):
+    """Streaming ingest → the SAME snapshot tier table the batch refresh
+    maintains: event-time rollup (append mode — the watermark finalizes
+    each bucket exactly once) → ``foreachBatch`` committing every
+    micro-batch through TableIO as a day-partitioned snapshot with
+    ``merge_partitions`` (finalized buckets APPEND to their day's files;
+    counts/sums/min/max/first/last re-aggregate associatively downstream,
+    so coarser tiers and readers use rollup.reaggregate unchanged).
+
+    Exactly-once across sink retries: each commit records its stream
+    batch id; a replayed batch (foreachBatch is at-least-once) sees
+    ``stream_batch_id >= batch_id`` in the current manifest and skips —
+    the snapshot chain is the idempotence ledger, the same mechanism the
+    batch refresh uses for kill-resume. Returns the StreamingQuery.
+    """
+    from sfa_spark.tableio import TableIO
+
+    agg = streaming_rollup(stream, key_cols, ts_col, value_col, tier, watermark)
+    sink = tier_batch_sink(TableIO(table_root), tier)
+    writer = (
+        agg.writeStream.outputMode("append")
+        .queryName(query_name)
+        .foreachBatch(sink)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -89,3 +89,73 @@ def test_streaming_locf_carry_matches_batch(spark, events, tmp_path):
         want["value"].to_numpy(dtype=np.float64).view(np.int64),
     )
     np.testing.assert_array_equal(got["locf_filled"].values, want["locf_filled"].values)
+
+
+def test_stream_tier_to_table_matches_batch(spark, events, tmp_path):
+    """File-source stream → streaming rollup → foreachBatch snapshot
+    commits == one-shot batch rollup, for every bucket the watermark
+    finalized; a replayed batch id is skipped (exactly-once fence)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sfa_spark.rollup import rollup_tier
+    from sfa_spark.streaming import stream_tier_to_table
+    from sfa_spark.tableio import TableIO
+
+    src = str(tmp_path / "src")
+    ev = events.limit(4000).withColumn("ts", F.col("ts").cast("timestamp")).cache()
+    # two chunks + a far-future sentinel row that pushes the watermark
+    # past every real bucket so append mode finalizes them all
+    ev.filter(F.col("user_id") % 2 == 0).write.mode("overwrite").parquet(src)
+    ev.filter(F.col("user_id") % 2 == 1).write.mode("append").parquet(src)
+    far = ev.limit(1).withColumn("ts", F.col("ts") + F.expr("INTERVAL 365 DAYS")).withColumn(
+        "user_id", F.lit(-1).cast("long")
+    )
+    far.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    root = str(tmp_path / "tier_table")
+    q = stream_tier_to_table(
+        spark, stream, root, ["user_id"], "ts", "value",
+        tier="1m", watermark="0 seconds",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = (
+        TableIO(root)
+        .read(spark)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "bucket_ts", "n", "sum", "min", "max", "first", "last")
+        .toPandas()
+        .sort_values(["user_id", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    # batch oracle: only buckets strictly below the final watermark are
+    # guaranteed flushed; the sentinel pushed it past all real buckets
+    want = (
+        rollup_tier(ev, ["user_id"], "ts", "value", "1m")
+        .toPandas()
+        .sort_values(["user_id", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in ("n", "min", "max", "first", "last"):
+        np.testing.assert_array_equal(got[c].values, want[c].values)
+    np.testing.assert_allclose(got["sum"].values, want["sum"].values, rtol=1e-12)
+
+    # replay fence: re-invoking the sink with an already-committed batch
+    # id (foreachBatch is at-least-once) must not create a new snapshot
+    from sfa_spark.streaming import tier_batch_sink
+
+    tio = TableIO(root)
+    snap_before = tio.current_snapshot()
+    committed = tio.manifest()["metrics"]["stream_batch_id"]
+    assert committed >= 0
+    poison = rollup_tier(ev, ["user_id"], "ts", "value", "1m").withColumn(
+        "sum", F.col("sum") * 1000
+    )
+    tier_batch_sink(tio, "1m")(poison, committed)  # replay → skipped
+    assert tio.current_snapshot() == snap_before
+    ev.unpersist()
