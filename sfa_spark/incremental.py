@@ -272,3 +272,40 @@ def refresh_encoded_tier(
         "stale": stale,
         "snapshot": snap,
     }
+
+
+def expire_tier(
+    table_root: str,
+    now_ts,
+    keep_seconds: int,
+    job: str = "retention",
+) -> dict:
+    """Enforce a tier's retention window on its SNAPSHOT TABLE: day
+    partitions wholly older than ``now_ts - keep_seconds`` are dropped
+    from the manifest in one metadata-only commit (no data scanned or
+    rewritten — the 100 TB retention path; rollup.apply_retention is the
+    read-side filter for sub-day precision within the boundary day).
+
+    ``now_ts`` is an explicit datetime/date (never wall clock —
+    determinism). Day keys are ISO dates, so the lexicographic compare
+    is chronological. Returns {dropped, kept, snapshot}.
+    """
+    import datetime as _dt
+
+    tio = TableIO(table_root)
+    m = tio.manifest()
+    if m is None:
+        return {"dropped": [], "kept": [], "snapshot": None}
+    if isinstance(now_ts, str):
+        now_ts = _dt.datetime.fromisoformat(now_ts)
+    cutoff_day = (now_ts - _dt.timedelta(seconds=keep_seconds)).date().isoformat()
+    parts = sorted(m["partitions"])
+    drop = [pk for pk in parts if pk < cutoff_day]
+    snap = tio.drop_partitions(
+        drop, job=job, metrics={"cutoff_day": cutoff_day, "keep_seconds": keep_seconds}
+    )
+    return {
+        "dropped": drop if snap else [],
+        "kept": [pk for pk in parts if pk >= cutoff_day],
+        "snapshot": snap or tio.current_snapshot(),
+    }

@@ -170,6 +170,45 @@ class TableIO:
         done = self.done_partitions()
         return [p for p in map(str, planned) if p not in done]
 
+    def drop_partitions(
+        self, keys: list[str], job: str = "retention", metrics: dict | None = None
+    ) -> str | None:
+        """Commit a snapshot WITHOUT the named partitions — a pure
+        metadata delete (the Iceberg expire shape). No data is read or
+        rewritten: the new manifest simply stops referencing the dropped
+        partitions' files, which remain in their ancestor snapshot dirs
+        for time travel via ``read(snapshot=...)``. Returns the new
+        snapshot id, or None if nothing matched (no empty commits)."""
+        parent = self.current_snapshot()
+        m = self.manifest(parent)
+        if m is None:
+            return None
+        drop = {str(k) for k in keys} & set(m["partitions"])
+        if not drop:
+            return None
+        snap = self._next_snapshot_id()
+        manifest = {
+            "snapshot_id": snap,
+            "parent": parent,
+            "job": job,
+            "partition_col": m.get("partition_col"),
+            "partitions": {
+                pk: meta for pk, meta in m["partitions"].items() if pk not in drop
+            },
+            "metrics": {
+                **(metrics or {}),
+                "dropped_partitions": sorted(drop),
+            },
+        }
+        mpath = os.path.join(self.root, "_manifests", f"{snap}.json")
+        with open(mpath, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        fd, tmp = tempfile.mkstemp(dir=self.root)
+        with os.fdopen(fd, "w") as f:
+            f.write(snap)
+        os.replace(tmp, os.path.join(self.root, "_current"))
+        return snap
+
     def lineage(self) -> list[dict]:
         """Snapshot chain, newest first."""
         out, cur = [], self.current_snapshot()

@@ -66,3 +66,54 @@ def test_resume_after_partial_write(spark, tio, events):
     os.makedirs(snap2_dir, exist_ok=True)  # partial garbage
     assert tio.current_snapshot() == snap1
     assert tio.read(spark).count() == 200  # old snapshot intact
+
+
+def test_drop_partitions_metadata_only_and_time_travel(spark, events, tmp_path):
+    """Retention = a metadata-only commit: dropped day partitions leave
+    the manifest (and reads) but their files stay on disk, readable by
+    snapshot id (time travel); expire is idempotent and the boundary is
+    chronological on ISO day keys."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sfa_spark.incremental import expire_tier, refresh_tier, read_tier
+    from sfa_spark.tableio import TableIO
+
+    root = str(tmp_path / "tier_1d")
+    refresh_tier(spark, events, root, ["user_id"], "ts", "value", tier="1d")
+    tio = TableIO(root)
+    days = sorted(tio.done_partitions())
+    assert len(days) >= 3
+    snap_full = tio.current_snapshot()
+    rows_full = read_tier(spark, root).count()
+
+    # keep only the last 2 days
+    now = dt.datetime.fromisoformat(days[-1]) + dt.timedelta(days=1)
+    r = expire_tier(root, now, keep_seconds=2 * 86400)
+    assert r["dropped"] == days[:-2]
+    assert sorted(tio.done_partitions()) == days[-2:]
+
+    got_days = {
+        str(d["dt"])
+        for d in read_tier(spark, root).select("dt").distinct().collect()
+    }
+    assert got_days == set(days[-2:])
+    assert read_tier(spark, root).count() < rows_full
+
+    # files still on disk; full snapshot still readable (time travel)
+    old = tio.manifest(snap_full)
+    for meta in old["partitions"].values():
+        for p in meta.get("paths") or [meta["path"]]:
+            assert os.path.isdir(os.path.join(root, p))
+    assert tio.read(spark, snapshot=snap_full).count() == rows_full
+
+    # idempotent: second expire is a no-op commit-wise
+    snap_after = tio.current_snapshot()
+    r2 = expire_tier(root, now, keep_seconds=2 * 86400)
+    assert r2["dropped"] == [] and tio.current_snapshot() == snap_after
+
+    # a later refresh still carries only retained + new partitions
+    lin = tio.lineage()
+    assert lin[0]["metrics"]["dropped_partitions"] == days[:-2]
