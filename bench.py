@@ -92,10 +92,12 @@ def run_queries(spark, sf_dir: str, n_urls: int) -> tuple[dict, dict]:
     # of the pages→signals→tier→LOCF cascade (q_pipeline_pages already
     # timed that cascade end-to-end)
     filled_1h_pages = res.filled["1h"].cache()
-    filled_1h_pages.count()
+    n_filled = filled_1h_pages.count()
     timed(
         "q_sfa_words",
-        lambda: sfa_downsample_words(spark, filled_1h_pages).count(),
+        lambda: sfa_downsample_words(
+            spark, filled_1h_pages, approx_rows=n_filled
+        ).count(),
     )
     filled_1h_pages.unpersist()
     pages.unpersist()

@@ -116,6 +116,8 @@ def sfa_downsample_words(
     window_size: int = 16,
     word_length: int = 4,
     alphabet_size: int = 4,
+    group_target_rows: int = 2_000_000,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """SFA-style windowed DFT + MCB words over a gap-filled tier — the
     'downsample summary per window' the north star names. Key = (url,
@@ -140,12 +142,22 @@ def sfa_downsample_words(
     # each group stacks its series and runs the znorm/DFT/quantize math
     # as matrix passes (mft *_rows kernels, bit-identical), so per-group
     # python+Arrow overhead is paid G times instead of once per series.
-    # Partition ONCE by the same bucket expression, persisted: the fit
-    # stage materializes it eagerly (bin edges are collected + broadcast)
-    # and the transform stage reads it again with no further exchange.
-    # (not unpersisted here: the returned plan still reads it — Spark's
-    # LRU storage eviction reclaims the blocks once the job is done)
-    g = spark.sparkContext.defaultParallelism * 4
+    # G must SCALE WITH DATA, not just cores: a group is one pandas frame
+    # in one task, so its size is rows/G — cap it at ~group_target_rows
+    # (~16 MB of values) regardless of input scale. ``approx_rows`` comes
+    # free when the tier is read from a snapshot (the manifest records
+    # per-partition row counts) or was just counted (bench's cache
+    # policy); without it, one count on the input pays for the bound.
+    n_rows = approx_rows if approx_rows is not None else filled_tier.count()
+    g = max(
+        spark.sparkContext.defaultParallelism * 4,
+        -(-n_rows // group_target_rows),
+    )
+    # partition ONCE by the same bucket expression both stages group by,
+    # persisted: the fit stage materializes it eagerly (bin edges are
+    # collected + broadcast) and the transform stage reads it again with
+    # no further exchange. (not unpersisted here: the returned plan still
+    # reads it — Spark's LRU storage eviction reclaims the blocks)
     series = series.repartition(
         F.pmod(F.xxhash64("series_id"), F.lit(g)).cast("int")
     ).persist()
