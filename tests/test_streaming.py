@@ -159,3 +159,54 @@ def test_stream_tier_to_table_matches_batch(spark, events, tmp_path):
     tier_batch_sink(tio, "1m")(poison, committed)  # replay → skipped
     assert tio.current_snapshot() == snap_before
     ev.unpersist()
+
+
+def test_streaming_locf_late_rows_dropped_not_misbucketed(spark, tmp_path):
+    """ADVICE round-2 defect: a late/replayed row at or before the
+    carried position must be DROPPED, not scattered into the dense
+    range's first bucket. Batch 1 replays an old bucket with a poison
+    value; output must contain each bucket exactly once, with the
+    original values, and the poison value nowhere."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sfa_spark.streaming import streaming_locf_carry
+
+    h = 3_600_000_000  # one hour in µs
+    base = 1_700_000_000_000_000
+
+    def write(rows, name):
+        pdf = pd.DataFrame(rows, columns=["user_id", "us", "value"])
+        pdf["bucket_ts"] = pd.to_datetime(pdf.pop("us"), unit="us")
+        spark.createDataFrame(pdf[["user_id", "bucket_ts", "value"]]).coalesce(
+            1
+        ).write.parquet(str(tmp_path / "src" / name))
+
+    write([(1, base, 10.0), (1, base + 2 * h, 12.0)], "batch=0")
+    # batch 1: a LATE replay of the first bucket (poison) + a new bucket
+    write([(1, base, 99.0), (1, base + 4 * h, 14.0)], "batch=1")
+
+    stream = (
+        spark.readStream.schema("user_id long, bucket_ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src" / "batch=*"))
+    )
+    out = streaming_locf_carry(stream, ["user_id"], tier="1h")
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("locf_late")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql("SELECT * FROM locf_late")
+        .toPandas()
+        .sort_values("bucket_ts")
+        .reset_index(drop=True)
+    )
+    assert not got["bucket_ts"].duplicated().any()
+    assert 99.0 not in set(got["value"])
+    # dense 5-bucket range, LOCF-filled: 10,10,12,12,14
+    assert got["value"].tolist() == [10.0, 10.0, 12.0, 12.0, 14.0]
