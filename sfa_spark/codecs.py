@@ -342,22 +342,64 @@ def gorilla_encode_runs_blocks(
     return [data[o : o + k] for o, k in zip(b0, nb)]
 
 
+def _read_bits_at(data: bytes, p: int, w: int) -> int:
+    """Read ``w`` bits at bit offset ``p`` — O(w) regardless of blob
+    size (slices ≤ 9 bytes; no whole-blob big-int shifting)."""
+    byte0 = p >> 3
+    nbytes = ((p & 7) + w + 7) >> 3
+    chunk = int.from_bytes(data[byte0 : byte0 + nbytes], "big")
+    return (chunk >> ((nbytes << 3) - (p & 7) - w)) & ((1 << w) - 1)
+
+
 def gorilla_decode(data: bytes) -> np.ndarray:
-    r = _BitReader(data)
-    n = r.read(64)
-    out = np.empty(n, dtype=np.uint64)
+    """Decode per RECORD, not per point: repeats are zero control bits,
+    so the cursor jumps straight to the next set bit (one vectorized
+    ``unpackbits``+``flatnonzero`` over the blob) and the dense output
+    is one ``np.repeat`` of the run values — the exact inverse of
+    :func:`gorilla_encode_runs`. Python work is O(value changes); a
+    754M-point LOCF tier decodes through ~1/600th of the old per-point
+    loop's interpreter work."""
+    import bisect
+
+    n = _read_bits_at(data, 0, 64)
     if n == 0:
-        return out.view(np.float64)
-    prev = r.read(64)
-    out[0] = prev
-    for i in range(1, n):
-        if r.read(1):
-            lz = r.read(6)
-            ml = r.read(6) + 1
-            bits = r.read(ml)
-            prev ^= bits << (64 - lz - ml)
-        out[i] = prev
-    return out.view(np.float64)
+        return np.empty(0, dtype=np.float64)
+    first = _read_bits_at(data, 64, 64)
+    if n == 1:
+        return np.array([first], dtype=np.uint64).view(np.float64)
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    # ones: positions of ALL set bits; the first ≥ cursor is always the
+    # next record's control bit (zero-run deltas contribute no set bits,
+    # payload bits lie strictly inside the record just consumed, and the
+    # byte-boundary padding is zeros)
+    ones = np.flatnonzero(bits)
+    cursor = 128  # after header + first value
+    dense_pos = 0  # dense index of the last emitted run start
+    prev = first
+    run_vals = [first]
+    run_pos = [0]
+    ones_list = ones.tolist()
+    oi = bisect.bisect_left(ones_list, cursor)
+    remaining = n - 1
+    while remaining > 0 and oi < len(ones_list):
+        p = ones_list[oi]
+        if p >= cursor + remaining:  # set bit beyond our deltas (padding)
+            break
+        zeros = p - cursor  # zero-control deltas before this record
+        hdr = _read_bits_at(data, p + 1, 12)
+        lz = hdr >> 6
+        ml = (hdr & 63) + 1
+        payload = _read_bits_at(data, p + 13, ml)
+        prev ^= payload << (64 - lz - ml)
+        dense_pos += zeros + 1
+        run_vals.append(prev)
+        run_pos.append(dense_pos)
+        cursor = p + 13 + ml
+        remaining = n - 1 - dense_pos
+        oi = bisect.bisect_left(ones_list, cursor, oi + 1)
+    rv = np.array(run_vals, dtype=np.uint64)
+    lens = np.diff(np.append(np.asarray(run_pos, dtype=np.int64), n))
+    return np.repeat(rv, lens).view(np.float64)
 
 
 # --------------------------------------------------------------------------
@@ -433,6 +475,14 @@ def dod_decode(data: bytes) -> np.ndarray:
     out = np.empty(n, dtype=np.int64)
     if n == 0:
         return out
+    # dense fast path: every gap-filled blob this engine writes is an
+    # arithmetic sequence (dod_encode_dense) — 3-word header, then n-2
+    # zero control bits. Detect it by the all-zero tail and reconstruct
+    # with one arange instead of a per-point python loop.
+    if n > 1 and len(data) == 24 + ((n - 2 + 7) >> 3) and not any(data[24:]):
+        t0 = np.frombuffer(data[8:16], dtype=">u8")[0].astype(np.int64)
+        step = np.frombuffer(data[16:24], dtype=">u8")[0].astype(np.int64)
+        return t0 + step * np.arange(n, dtype=np.int64)
 
     def _s64(u: int) -> int:
         # two's-complement wrap: encode-side arithmetic is numpy int64
