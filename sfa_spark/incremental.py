@@ -309,3 +309,12 @@ def expire_tier(
         "kept": [pk for pk in parts if pk >= cutoff_day],
         "snapshot": snap or tio.current_snapshot(),
     }
+
+
+def read_encoded_tier(spark: SparkSession, table_root: str, key_cols: list[str]) -> DataFrame:
+    """Cold-tier read path: the encoded-blocks snapshot table back to
+    dense (key…, bucket_ts, value) rows (decode_blocks over the current
+    snapshot; pair with :func:`refresh_encoded_tier`)."""
+    from sfa_spark.encode import decode_blocks
+
+    return decode_blocks(TableIO(table_root).read(spark).drop("kb"), key_cols)

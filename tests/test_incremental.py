@@ -231,8 +231,10 @@ def test_refresh_encoded_tier_bucket_incremental(spark, events, tmp_path):
     # per-bucket encode metrics recorded for every bucket
     assert set(m["metrics"]["encode_by_bucket"]) == set(r1["planned"])
 
+    from sfa_spark.incremental import read_encoded_tier
+
     got = (
-        decode_blocks(TableIO(root).read(spark).drop("kb"), KEY)
+        read_encoded_tier(spark, root, KEY)
         .toPandas()
         .sort_values(["user_id", "bucket_ts"])
         .reset_index(drop=True)
