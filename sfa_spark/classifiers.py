@@ -415,8 +415,9 @@ def _bossvs_windows(max_len: int, min_w: int = 10) -> list[int]:
 
 def _bossvs_fit_window(args) -> BOSSVSMember:
     """One window config of the BOSS VS grid (BOSSVSClassifier.java:
-    fitEnsemble body)."""
-    series, labels, w, norm_mean, folds, uniq = args
+    fitEnsemble body). Arg order = shared payload (window-independent,
+    broadcast once in grid_map's Spark mode) then the per-window config."""
+    series, labels, folds, uniq, w, norm_mean = args
     all_idx = np.arange(len(series))
     sfa_model = _sfa.fit_windowing(series, w, MAX_F, MAX_S, norm_mean)
     packed = _packed_words(sfa_model, series)
@@ -455,8 +456,8 @@ def fit_bossvs(
         windows = _bossvs_windows(max_len, min_window)
         cands = grid_map(
             _bossvs_fit_window,
-            (series, labels),
-            [(w, norm_mean, folds, uniq) for w in windows],
+            (series, labels, folds, uniq),
+            [(w, norm_mean) for w in windows],
             spark=spark,
             work_points=n_points * len(windows),
         )

@@ -103,11 +103,15 @@ def refresh_tier(
         else key_cols + [ts_col, value_col]
     )
     per_day = _day_fingerprints(events, consumed, ts_col)
-    planned = sorted(per_day)
+    manifest_metrics = (tio.manifest() or {}).get("metrics", {})
+    # retention is manifest state: days at/before the recorded cutoff were
+    # deliberately dropped (expire_tier) — they are EXPIRED, not missing,
+    # and must not be resurrected from the cumulative source
+    cutoff = manifest_metrics.get("retention_cutoff_day", "")
+    expired = sorted(d for d in per_day if d < cutoff)
+    planned = sorted(d for d in per_day if d >= cutoff)
     missing = set(tio.missing_partitions(planned))
-    prev_fps = (tio.manifest() or {}).get("metrics", {}).get(
-        "input_fp_by_day", {}
-    )
+    prev_fps = manifest_metrics.get("input_fp_by_day", {})
     stale = sorted(
         d
         for d in planned
@@ -120,6 +124,7 @@ def refresh_tier(
             "processed": [],
             "skipped": planned,
             "stale": stale,
+            "expired": expired,
             "snapshot": tio.current_snapshot(),
         }
     slice_df = events.filter(F.to_date(ts_col).isin(to_process))
@@ -150,6 +155,7 @@ def refresh_tier(
         "processed": to_process,
         "skipped": sorted(set(planned) - set(to_process)),
         "stale": stale,
+        "expired": expired,
         "snapshot": snap,
     }
 
@@ -208,9 +214,22 @@ def refresh_encoded_tier(
     )
     per_bucket = {str(r["kb"]): f'{r["n"]}:{r["h"]}' for r in rows}
     planned = sorted(per_bucket, key=int)
-    missing = set(tio.missing_partitions(planned))
     prev = (tio.manifest() or {}).get("metrics", {})
-    prev_fps = prev.get("fp_by_bucket", {})
+    # an n_buckets change invalidates the whole partitioning scheme:
+    # every bucket is rebuilt under the new hashing and NOTHING from the
+    # old scheme is carried forward (old out-of-range partitions would
+    # otherwise survive and serve their keys' history twice)
+    rebucket = (
+        prev.get("n_buckets") is not None and prev.get("n_buckets") != n_buckets
+    )
+    if rebucket:
+        missing = set(planned)
+        prev_fps: dict = {}
+        prev_enc: dict = {}
+    else:
+        missing = set(tio.missing_partitions(planned))
+        prev_fps = prev.get("fp_by_bucket", {})
+        prev_enc = prev.get("encode_by_bucket", {})
     stale = sorted(
         (b for b in planned if b not in missing and prev_fps.get(b) != per_bucket[b]),
         key=int,
@@ -258,11 +277,10 @@ def refresh_encoded_tier(
             "tier": tier,
             "n_buckets": n_buckets,
             "fp_by_bucket": {**prev_fps, **{b: per_bucket[b] for b in to_process}},
-            "encode_by_bucket": {
-                **prev.get("encode_by_bucket", {}),
-                **enc_by_bucket,
-            },
+            "encode_by_bucket": {**prev_enc, **enc_by_bucket},
         },
+        # on a rebucket nothing from the old scheme may survive
+        carry_forward=not rebucket,
     )
     blocks.unpersist()
     return {
@@ -301,8 +319,17 @@ def expire_tier(
     cutoff_day = (now_ts - _dt.timedelta(seconds=keep_seconds)).date().isoformat()
     parts = sorted(m["partitions"])
     drop = [pk for pk in parts if pk < cutoff_day]
+    # the cutoff is CUMULATIVE monotone manifest state: refresh_tier
+    # consults it so expired days are never resurrected from the (still
+    # cumulative) input source on the next refresh
+    prev_cut = m.get("metrics", {}).get("retention_cutoff_day", "")
     snap = tio.drop_partitions(
-        drop, job=job, metrics={"cutoff_day": cutoff_day, "keep_seconds": keep_seconds}
+        drop,
+        job=job,
+        metrics={
+            "retention_cutoff_day": max(cutoff_day, prev_cut),
+            "keep_seconds": keep_seconds,
+        },
     )
     return {
         "dropped": drop if snap else [],

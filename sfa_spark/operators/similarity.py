@@ -141,16 +141,23 @@ def _bucket_udf(n_planes: int, n_tables: int, seed: int):
     from pyspark.sql.functions import pandas_udf
 
     weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+    # memoize the (dim × tables·planes) matrix per worker: dim is
+    # constant after the first batch, and regenerating ~dim·tables·planes
+    # gaussians per Arrow batch is pure repeated work on a large scan
+    mat_cache: dict[int, np.ndarray] = {}
 
     @pandas_udf("array<long>")
     def bucketize(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         vm = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        planes = _hyperplanes(vm.shape[1], n_planes, n_tables, seed)
-        mat = np.ascontiguousarray(
-            planes.reshape(n_tables * n_planes, vm.shape[1]).T
-        )
+        mat = mat_cache.get(vm.shape[1])
+        if mat is None:
+            planes = _hyperplanes(vm.shape[1], n_planes, n_tables, seed)
+            mat = np.ascontiguousarray(
+                planes.reshape(n_tables * n_planes, vm.shape[1]).T
+            )
+            mat_cache[vm.shape[1]] = mat
         proj = vm @ mat  # (n, tables*planes)
         bits = (proj > 0).reshape(len(vm), n_tables, n_planes)
         ids = (bits * weights[None, None, :]).sum(axis=2)

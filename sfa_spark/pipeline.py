@@ -148,7 +148,14 @@ def sfa_downsample_words(
     # free when the tier is read from a snapshot (the manifest records
     # per-partition row counts) or was just counted (bench's cache
     # policy); without it, one count on the input pays for the bound.
-    n_rows = approx_rows if approx_rows is not None else filled_tier.count()
+    if approx_rows is None:
+        # count the persisted skinny projection, NOT the raw input — the
+        # upstream cascade then computes once (for this count) and the
+        # repartition below reads the cache instead of recomputing
+        series = series.persist()
+        n_rows = series.count()
+    else:
+        n_rows = approx_rows
     g = max(
         spark.sparkContext.defaultParallelism * 4,
         -(-n_rows // group_target_rows),

@@ -122,13 +122,22 @@ class TableIO:
                         "bytes": meta["bytes"] + new["bytes"],
                     }
 
+        # metrics CARRY FORWARD across commits, like partitions: several
+        # writers share one table (batch refresh, streaming sink,
+        # retention, encoded-tier refresh), and each one's bookkeeping
+        # (input_fp_by_day, stream_batch_id, fp_by_bucket, …) must
+        # survive the others' commits — a writer overrides only the keys
+        # it owns
+        parent_metrics = {}
+        if parent:
+            parent_metrics = (self.manifest(parent) or {}).get("metrics", {})
         manifest = {
             "snapshot_id": snap,
             "parent": parent,
             "job": job,
             "partition_col": partition_col,
             "partitions": parts,
-            "metrics": metrics or {},
+            "metrics": {**parent_metrics, **(metrics or {})},
         }
         mpath = os.path.join(self.root, "_manifests", f"{snap}.json")
         with open(mpath, "w") as f:
@@ -187,6 +196,16 @@ class TableIO:
         if not drop:
             return None
         snap = self._next_snapshot_id()
+        # parent metrics carry forward (other writers' bookkeeping must
+        # survive a retention commit); per-partition metric maps — any
+        # dict keyed by partition keys, e.g. input_fp_by_day — follow
+        # their partitions out
+        carried = {}
+        for k, v in (m.get("metrics") or {}).items():
+            if isinstance(v, dict) and set(v) & drop:
+                carried[k] = {pk: pv for pk, pv in v.items() if pk not in drop}
+            else:
+                carried[k] = v
         manifest = {
             "snapshot_id": snap,
             "parent": parent,
@@ -196,6 +215,7 @@ class TableIO:
                 pk: meta for pk, meta in m["partitions"].items() if pk not in drop
             },
             "metrics": {
+                **carried,
                 **(metrics or {}),
                 "dropped_partitions": sorted(drop),
             },

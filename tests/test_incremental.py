@@ -253,3 +253,29 @@ def test_refresh_encoded_tier_bucket_incremental(spark, events, tmp_path):
         got["bucket_ts"].values, want["bucket_ts"].values
     )
     tier.unpersist()
+
+
+def test_refresh_encoded_tier_rebucket_full_rebuild(spark, events, tmp_path):
+    """Changing n_buckets invalidates the partitioning scheme: every new
+    bucket is rebuilt and NO old-scheme partition survives (old
+    out-of-range buckets would otherwise serve keys' history twice)."""
+    from sfa_spark.incremental import read_encoded_tier, refresh_encoded_tier
+    from sfa_spark.tableio import TableIO
+
+    root = str(tmp_path / "enc_rebucket")
+    tier = rollup_tier(events, KEY, "ts", "value", "1m").cache()
+    r1 = refresh_encoded_tier(spark, tier, root, KEY, tier="1m", n_buckets=8)
+    assert len(r1["planned"]) <= 8
+
+    r2 = refresh_encoded_tier(spark, tier, root, KEY, tier="1m", n_buckets=4)
+    assert r2["processed"] == r2["planned"]  # full rebuild
+    tio = TableIO(root)
+    assert all(int(k) < 4 for k in tio.done_partitions())
+    m = tio.manifest()
+    assert m["metrics"]["n_buckets"] == 4
+    assert set(m["metrics"]["fp_by_bucket"]) == set(r2["planned"])
+
+    got = read_encoded_tier(spark, root, KEY).toPandas()
+    # no key's history appears twice
+    assert not got.duplicated(subset=["user_id", "bucket_ts"]).any()
+    tier.unpersist()

@@ -117,3 +117,59 @@ def test_drop_partitions_metadata_only_and_time_travel(spark, events, tmp_path):
     # a later refresh still carries only retained + new partitions
     lin = tio.lineage()
     assert lin[0]["metrics"]["dropped_partitions"] == days[:-2]
+
+
+def test_expire_survives_refresh_and_other_writers(spark, events, tmp_path):
+    """Review findings r3: (a) refresh_tier must not resurrect expired
+    days from the cumulative source; (b) drop_partitions must carry the
+    other writers' manifest metrics (pruning only the dropped days'
+    per-day entries); (c) the streaming sink's batch-id fence must
+    survive an interleaved retention commit."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sfa_spark.incremental import expire_tier, read_tier, refresh_tier
+    from sfa_spark.rollup import rollup_tier
+    from sfa_spark.streaming import tier_batch_sink
+    from sfa_spark.tableio import TableIO
+
+    root = str(tmp_path / "tier_1d")
+    refresh_tier(spark, events, root, ["user_id"], "ts", "value", tier="1d")
+    tio = TableIO(root)
+    days = sorted(tio.done_partitions())
+
+    # a streaming commit on the same table records its fence
+    t1d = rollup_tier(events, ["user_id"], "ts", "value", "1d").withColumn(
+        "dt", F.to_date("bucket_ts")
+    )
+    tier_batch_sink(tio, "1d")(t1d.limit(0), 5)  # empty batch: no commit
+    tier_batch_sink(tio, "1d")(t1d.filter(F.lit(False)), 5)
+    # commit a real one so the fence is recorded
+    tier_batch_sink(tio, "1d")(t1d.filter(F.col("dt") == days[-1]), 5)
+    assert tio.manifest()["metrics"]["stream_batch_id"] == 5
+
+    now = dt.datetime.fromisoformat(days[-1]) + dt.timedelta(days=1)
+    r = expire_tier(root, now, keep_seconds=2 * 86400)
+    assert r["dropped"] == days[:-2]
+    m = tio.manifest()
+    # (b) other writers' metrics carried; dropped days' fingerprints pruned
+    assert m["metrics"]["stream_batch_id"] == 5
+    fps = m["metrics"]["input_fp_by_day"]
+    assert set(fps) == set(days[-2:])
+    assert m["metrics"]["retention_cutoff_day"] == days[-2]
+
+    # (c) a replayed stream batch after the retention commit stays fenced
+    snap = tio.current_snapshot()
+    tier_batch_sink(tio, "1d")(t1d.withColumn("sum", F.col("sum") * 99), 5)
+    assert tio.current_snapshot() == snap
+
+    # (a) a full-source refresh does NOT rebuild the expired days
+    r2 = refresh_tier(spark, events, root, ["user_id"], "ts", "value", tier="1d")
+    assert r2["expired"] == days[:-2]
+    assert r2["processed"] == []
+    assert sorted(tio.done_partitions(), key=str)[:1][0] >= days[-2]
+    got_days = {
+        str(d["dt"]) for d in read_tier(spark, root).select("dt").distinct().collect()
+    }
+    assert got_days <= set(days[-2:])
