@@ -32,10 +32,10 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from sfa_spark.encode import encode_tier_blocks_gapfill
-    from sfa_spark.incremental import read_tier, refresh_tier
+    from sfa_spark.incremental import read_tier, refresh_encoded_tier, refresh_tier
     from sfa_spark.pipeline import signals_long
     from sfa_spark.session import get_spark
+    from sfa_spark.tableio import TableIO
 
     spark = get_spark("sfa_pipeline", cores=args.cores)
 
@@ -78,20 +78,29 @@ def main() -> None:
 
     # encode the finest tier from its committed snapshot
 
+    # ... into its own MAINTAINED snapshot table (key-bucket partitioned;
+    # a re-run after late data re-encodes only the touched buckets)
     finest = args.tiers[0]
     tier_df = read_tier(spark, os.path.join(args.out, f"tier_{finest}"))
-    blocks = encode_tier_blocks_gapfill(tier_df, ["series_key"], tier=finest)
-    m = blocks.agg(
-        F.count(F.lit(1)).alias("blocks"),
-        F.sum("n").alias("points"),
-        F.sum("raw_bytes").alias("raw"),
-        F.sum("enc_bytes").alias("enc"),
-    ).collect()[0]
+    enc_root = os.path.join(args.out, f"encoded_{finest}")
+    r = refresh_encoded_tier(
+        spark, tier_df, enc_root, ["series_key"], tier=finest,
+        job=f"pipeline_encode_{finest}",
+    )
+    enc = (TableIO(enc_root).manifest() or {}).get("metrics", {}).get(
+        "encode_by_bucket", {}
+    )
     report["encode"] = {
         "tier": finest,
-        "blocks": m["blocks"],
-        "points": m["points"],
-        "ratio": round(m["enc"] / m["raw"], 4) if m["raw"] else None,
+        "snapshot": r["snapshot"],
+        "processed_buckets": len(r["processed"]),
+        "skipped_buckets": len(r["skipped"]),
+        "points": sum(v["points"] for v in enc.values()),
+        "ratio": round(
+            sum(v["enc_bytes"] for v in enc.values())
+            / max(sum(v["raw_bytes"] for v in enc.values()), 1),
+            4,
+        ),
     }
     print(json.dumps(report))
     spark.stop()
