@@ -226,10 +226,17 @@ def refresh_encoded_tier(
         missing = set(planned)
         prev_fps: dict = {}
         prev_enc: dict = {}
+        vanished: list[str] = []  # the rebucket commit drops everything old
     else:
         missing = set(tio.missing_partitions(planned))
         prev_fps = prev.get("fp_by_bucket", {})
         prev_enc = prev.get("encode_by_bucket", {})
+        # committed buckets whose keys ALL disappeared from the source
+        # (e.g. fully expired) are neither planned nor stale — without
+        # an explicit drop their files + fp/encode bookkeeping would be
+        # carried forward forever and read_encoded_tier would keep
+        # serving the deleted history
+        vanished = sorted(tio.done_partitions() - set(per_bucket), key=int)
     stale = sorted(
         (b for b in planned if b not in missing and prev_fps.get(b) != per_bucket[b]),
         key=int,
@@ -239,12 +246,15 @@ def refresh_encoded_tier(
         if recompute_stale
         else sorted(missing, key=int)
     )
+    if vanished:
+        tio.drop_partitions(vanished, job=f"{job}_gc")
     if not to_process:
         return {
             "planned": planned,
             "processed": [],
             "skipped": planned,
             "stale": stale,
+            "vanished": vanished,
             "snapshot": tio.current_snapshot(),
         }
     sub = tier_df.filter(kb.isin([int(b) for b in to_process]))
@@ -288,6 +298,7 @@ def refresh_encoded_tier(
         "processed": to_process,
         "skipped": sorted(set(planned) - set(to_process), key=int),
         "stale": stale,
+        "vanished": vanished,
         "snapshot": snap,
     }
 
@@ -312,25 +323,30 @@ def expire_tier(
 
     tio = TableIO(table_root)
     m = tio.manifest()
-    if m is None:
-        return {"dropped": [], "kept": [], "snapshot": None}
     if isinstance(now_ts, str):
         now_ts = _dt.datetime.fromisoformat(now_ts)
     cutoff_day = (now_ts - _dt.timedelta(seconds=keep_seconds)).date().isoformat()
-    parts = sorted(m["partitions"])
+    parts = sorted(m["partitions"]) if m else []
     drop = [pk for pk in parts if pk < cutoff_day]
     # the cutoff is CUMULATIVE monotone manifest state: refresh_tier
     # consults it so expired days are never resurrected from the (still
     # cumulative) input source on the next refresh
-    prev_cut = m.get("metrics", {}).get("retention_cutoff_day", "")
-    snap = tio.drop_partitions(
-        drop,
-        job=job,
-        metrics={
-            "retention_cutoff_day": max(cutoff_day, prev_cut),
-            "keep_seconds": keep_seconds,
-        },
-    )
+    prev_cut = (m or {}).get("metrics", {}).get("retention_cutoff_day", "")
+    metrics = {
+        "retention_cutoff_day": max(cutoff_day, prev_cut),
+        "keep_seconds": keep_seconds,
+    }
+    if drop:
+        snap = tio.drop_partitions(drop, job=job, metrics=metrics)
+    elif cutoff_day > prev_cut:
+        # nothing committed falls inside the expired range, but the
+        # cutoff still advanced — persist it as a metadata-only commit
+        # so days that exist only in the cumulative source (expire
+        # before first refresh, or cutoff sweeping past never-committed
+        # days) are fenced from a later refresh_tier resurrection
+        snap = tio.commit_metrics(metrics, job=job)
+    else:
+        snap = None
     return {
         "dropped": drop if snap else [],
         "kept": [pk for pk in parts if pk >= cutoff_day],

@@ -148,11 +148,13 @@ def sfa_downsample_words(
     # free when the tier is read from a snapshot (the manifest records
     # per-partition row counts) or was just counted (bench's cache
     # policy); without it, one count on the input pays for the bound.
+    pre_cache = None
     if approx_rows is None:
         # count the persisted skinny projection, NOT the raw input — the
         # upstream cascade then computes once (for this count) and the
-        # repartition below reads the cache instead of recomputing
-        series = series.persist()
+        # repartition below reads the cache instead of recomputing;
+        # unpersisted below once the repartitioned cache is materialized
+        pre_cache = series = series.persist()
         n_rows = series.count()
     else:
         n_rows = approx_rows
@@ -173,6 +175,12 @@ def sfa_downsample_words(
         window_size, word_length, alphabet_size, norm_mean=True,
         group_buckets=g,
     )
+    if pre_cache is not None:
+        # the fit stage materialized the repartitioned cache (bin edges
+        # were collected), so the pre-repartition projection is no
+        # longer read by anything — drop it instead of holding two full
+        # copies of the skinny series for the job's lifetime
+        pre_cache.unpersist()
     words = transform_windowing_df(
         series, model, "series_id", "t", "value", pack=True, group_buckets=g
     )

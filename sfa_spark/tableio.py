@@ -24,9 +24,12 @@ atomic: data + manifest are fully written before `_current` flips.
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -68,6 +71,39 @@ class TableIO:
         n = int(cur.split("-")[1]) + 1 if cur else 1
         return f"snap-{n:06d}"
 
+    @contextlib.contextmanager
+    def _commit_lock(self):
+        """Serialize the metadata commit section across concurrent
+        writers on this table (streaming sink + batch refresh +
+        retention can overlap in time — the north rule's multi-writer
+        shape). The parent read, snapshot-id allocation, manifest write
+        and pointer flip all happen under one exclusive flock, so a
+        writer always rebases its carry-forward onto the *actual*
+        current snapshot and two writers can never both claim snap-N+1
+        (the Iceberg optimistic-commit CAS, degenerate-but-correct as a
+        blocking lock: data files are written OUTSIDE the lock, only
+        cheap metadata inside). On a real object store this section is
+        the catalog's atomic swap (e.g. Iceberg REST catalog commit)."""
+        fd = os.open(os.path.join(self.root, "_commit.lock"), os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+    def _commit_manifest(self, manifest: dict) -> None:
+        """Write the manifest then atomically flip the pointer. Must be
+        called with the commit lock held."""
+        snap = manifest["snapshot_id"]
+        mpath = os.path.join(self.root, "_manifests", f"{snap}.json")
+        with open(mpath, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        fd, tmp = tempfile.mkstemp(dir=self.root)
+        with os.fdopen(fd, "w") as f:
+            f.write(snap)
+        os.replace(tmp, os.path.join(self.root, "_current"))
+
     # -- write / commit -------------------------------------------------
     def write_snapshot(
         self,
@@ -89,64 +125,74 @@ class TableIO:
         append semantics (the word index's SFATrie.mergeTrees analogue)
         instead of the default replace semantics.
         """
-        snap = self._next_snapshot_id()
-        parent = self.current_snapshot()
-        out_dir = os.path.join(self.root, snap)
-        df.write.mode("overwrite").partitionBy(partition_col).parquet(out_dir)
+        # data files are written to a writer-private staging dir OUTSIDE
+        # the commit lock (the long part — minutes at scale); the
+        # snapshot id is allocated only once the lock is held, so it
+        # reflects the table state at commit time, not write-start time
+        stage = os.path.join(self.root, f".stage-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
 
-        parts: dict = {}
-        for name in os.listdir(out_dir):
+        staged: dict = {}
+        for name in os.listdir(stage):
             if not name.startswith(f"{partition_col}="):
                 continue
             pk = name.split("=", 1)[1]
-            pdir = os.path.join(out_dir, name)
+            pdir = os.path.join(stage, name)
             files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
-            parts[pk] = {
-                "path": os.path.join(snap, name),
+            staged[pk] = {
+                "name": name,
                 "files": len(files),
                 "bytes": sum(
                     os.path.getsize(os.path.join(pdir, f)) for f in files
                 ),
             }
-        if carry_forward and parent:
-            parent_manifest = self.manifest(parent) or {"partitions": {}}
-            for pk, meta in parent_manifest["partitions"].items():
-                if pk not in parts:
-                    parts[pk] = meta
-                elif merge_partitions:
-                    old_paths = meta.get("paths") or [meta["path"]]
-                    new = parts[pk]
-                    parts[pk] = {
-                        "paths": old_paths + [new["path"]],
-                        "files": meta["files"] + new["files"],
-                        "bytes": meta["bytes"] + new["bytes"],
-                    }
 
-        # metrics CARRY FORWARD across commits, like partitions: several
-        # writers share one table (batch refresh, streaming sink,
-        # retention, encoded-tier refresh), and each one's bookkeeping
-        # (input_fp_by_day, stream_batch_id, fp_by_bucket, …) must
-        # survive the others' commits — a writer overrides only the keys
-        # it owns
-        parent_metrics = {}
-        if parent:
-            parent_metrics = (self.manifest(parent) or {}).get("metrics", {})
-        manifest = {
-            "snapshot_id": snap,
-            "parent": parent,
-            "job": job,
-            "partition_col": partition_col,
-            "partitions": parts,
-            "metrics": {**parent_metrics, **(metrics or {})},
-        }
-        mpath = os.path.join(self.root, "_manifests", f"{snap}.json")
-        with open(mpath, "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
-        # atomic pointer flip — commit point
-        fd, tmp = tempfile.mkstemp(dir=self.root)
-        with os.fdopen(fd, "w") as f:
-            f.write(snap)
-        os.replace(tmp, os.path.join(self.root, "_current"))
+        with self._commit_lock():
+            # CAS section: re-read the current pointer under the lock —
+            # a concurrent writer that committed while our data was
+            # being written becomes our parent (rebase), never a victim
+            parent = self.current_snapshot()
+            snap = self._next_snapshot_id()
+            os.rename(stage, os.path.join(self.root, snap))
+            parts = {
+                pk: {
+                    "path": os.path.join(snap, meta["name"]),
+                    "files": meta["files"],
+                    "bytes": meta["bytes"],
+                }
+                for pk, meta in staged.items()
+            }
+            if carry_forward and parent:
+                parent_manifest = self.manifest(parent) or {"partitions": {}}
+                for pk, meta in parent_manifest["partitions"].items():
+                    if pk not in parts:
+                        parts[pk] = meta
+                    elif merge_partitions:
+                        old_paths = meta.get("paths") or [meta["path"]]
+                        new = parts[pk]
+                        parts[pk] = {
+                            "paths": old_paths + [new["path"]],
+                            "files": meta["files"] + new["files"],
+                            "bytes": meta["bytes"] + new["bytes"],
+                        }
+
+            # metrics CARRY FORWARD across commits, like partitions:
+            # several writers share one table (batch refresh, streaming
+            # sink, retention, encoded-tier refresh), and each one's
+            # bookkeeping (input_fp_by_day, stream_batch_id,
+            # fp_by_bucket, …) must survive the others' commits — a
+            # writer overrides only the keys it owns
+            parent_metrics = {}
+            if parent:
+                parent_metrics = (self.manifest(parent) or {}).get("metrics", {})
+            self._commit_manifest({
+                "snapshot_id": snap,
+                "parent": parent,
+                "job": job,
+                "partition_col": partition_col,
+                "partitions": parts,
+                "metrics": {**parent_metrics, **(metrics or {})},
+            })
         return snap
 
     # -- read / resume ----------------------------------------------------
@@ -188,45 +234,65 @@ class TableIO:
         partitions' files, which remain in their ancestor snapshot dirs
         for time travel via ``read(snapshot=...)``. Returns the new
         snapshot id, or None if nothing matched (no empty commits)."""
-        parent = self.current_snapshot()
-        m = self.manifest(parent)
-        if m is None:
-            return None
-        drop = {str(k) for k in keys} & set(m["partitions"])
-        if not drop:
-            return None
-        snap = self._next_snapshot_id()
-        # parent metrics carry forward (other writers' bookkeeping must
-        # survive a retention commit); per-partition metric maps — any
-        # dict keyed by partition keys, e.g. input_fp_by_day — follow
-        # their partitions out
-        carried = {}
-        for k, v in (m.get("metrics") or {}).items():
-            if isinstance(v, dict) and set(v) & drop:
-                carried[k] = {pk: pv for pk, pv in v.items() if pk not in drop}
-            else:
-                carried[k] = v
-        manifest = {
-            "snapshot_id": snap,
-            "parent": parent,
-            "job": job,
-            "partition_col": m.get("partition_col"),
-            "partitions": {
-                pk: meta for pk, meta in m["partitions"].items() if pk not in drop
-            },
-            "metrics": {
-                **carried,
-                **(metrics or {}),
-                "dropped_partitions": sorted(drop),
-            },
-        }
-        mpath = os.path.join(self.root, "_manifests", f"{snap}.json")
-        with open(mpath, "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
-        fd, tmp = tempfile.mkstemp(dir=self.root)
-        with os.fdopen(fd, "w") as f:
-            f.write(snap)
-        os.replace(tmp, os.path.join(self.root, "_current"))
+        with self._commit_lock():
+            parent = self.current_snapshot()
+            m = self.manifest(parent)
+            if m is None:
+                return None
+            drop = {str(k) for k in keys} & set(m["partitions"])
+            if not drop:
+                return None
+            snap = self._next_snapshot_id()
+            # parent metrics carry forward (other writers' bookkeeping
+            # must survive a retention commit); per-partition metric
+            # maps — any dict keyed by partition keys, e.g.
+            # input_fp_by_day — follow their partitions out
+            carried = {}
+            for k, v in (m.get("metrics") or {}).items():
+                if isinstance(v, dict) and set(v) & drop:
+                    carried[k] = {pk: pv for pk, pv in v.items() if pk not in drop}
+                else:
+                    carried[k] = v
+            self._commit_manifest({
+                "snapshot_id": snap,
+                "parent": parent,
+                "job": job,
+                "partition_col": m.get("partition_col"),
+                "partitions": {
+                    pk: meta for pk, meta in m["partitions"].items() if pk not in drop
+                },
+                "metrics": {
+                    **carried,
+                    **(metrics or {}),
+                    "dropped_partitions": sorted(drop),
+                },
+            })
+        return snap
+
+    def commit_metrics(self, metrics: dict, job: str = "metadata") -> str:
+        """Commit a METADATA-ONLY snapshot: partitions unchanged (or
+        empty if the table has none yet), only the metrics map updated.
+        Needed when durable bookkeeping must advance without any data
+        motion — e.g. a retention cutoff that found nothing to drop but
+        must still fence future refreshes from resurrecting expired days
+        (expire-before-first-refresh, or the cutoff sweeping past days
+        that were never committed)."""
+        with self._commit_lock():
+            parent = self.current_snapshot()
+            m = self.manifest(parent) or {
+                "partition_col": None,
+                "partitions": {},
+                "metrics": {},
+            }
+            snap = self._next_snapshot_id()
+            self._commit_manifest({
+                "snapshot_id": snap,
+                "parent": parent,
+                "job": job,
+                "partition_col": m.get("partition_col"),
+                "partitions": m["partitions"],
+                "metrics": {**(m.get("metrics") or {}), **metrics},
+            })
         return snap
 
     def lineage(self) -> list[dict]:

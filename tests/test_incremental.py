@@ -279,3 +279,45 @@ def test_refresh_encoded_tier_rebucket_full_rebuild(spark, events, tmp_path):
     # no key's history appears twice
     assert not got.duplicated(subset=["user_id", "bucket_ts"]).any()
     tier.unpersist()
+
+
+def test_refresh_encoded_tier_drops_vanished_buckets(spark, events, tmp_path):
+    """ADVICE r3 (low): a bucket whose keys ALL disappeared from the
+    source (e.g. fully expired) must be dropped from the manifest — not
+    carried forward serving deleted history forever."""
+    from sfa_spark.incremental import read_encoded_tier, refresh_encoded_tier
+    from sfa_spark.tableio import TableIO
+
+    root = str(tmp_path / "enc_vanish")
+    nb = 8
+    tier = rollup_tier(events, KEY, "ts", "value", "1m").cache()
+    r1 = refresh_encoded_tier(spark, tier, root, KEY, tier="1m", n_buckets=nb)
+    assert len(r1["planned"]) >= 2
+
+    # remove every key that hashes into one committed bucket
+    gone = r1["planned"][0]
+    kb = F.pmod(F.xxhash64(*KEY), F.lit(nb)).cast("int")
+    shrunk = tier.filter(kb != int(gone)).cache()
+    r2 = refresh_encoded_tier(spark, shrunk, root, KEY, tier="1m", n_buckets=nb)
+    assert r2["vanished"] == [gone]
+    assert gone not in set(r2["planned"])
+
+    tio = TableIO(root)
+    assert gone not in tio.done_partitions()
+    m = tio.manifest()
+    assert gone not in m["metrics"]["fp_by_bucket"]
+    assert gone not in m["metrics"]["encode_by_bucket"]
+
+    # the cold read no longer serves the vanished keys' history
+    got_kb = {
+        r["kb"]
+        for r in read_encoded_tier(spark, root, KEY)
+        .select(F.pmod(F.xxhash64(*KEY), F.lit(nb)).cast("int").alias("kb"))
+        .distinct()
+        .collect()
+    }
+    assert int(gone) not in got_kb
+    # and a re-run against the same shrunk source is a clean no-op
+    r3 = refresh_encoded_tier(spark, shrunk, root, KEY, tier="1m", n_buckets=nb)
+    assert r3["processed"] == [] and r3["vanished"] == []
+    tier.unpersist(); shrunk.unpersist()

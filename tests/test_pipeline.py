@@ -162,3 +162,18 @@ def test_extract_expr_equals_udf_edge_cases(spark):
         .toPandas()
     )
     assert (got["e"].fillna("") == got["u"].fillna("")).all(), got
+
+
+def test_sfa_downsample_words_single_cache(spark, pages):
+    """ADVICE r3 (low): the approx_rows=None path must not leave TWO
+    persisted copies of the skinny series (pre- and post-repartition) —
+    the pre-repartition cache is unpersisted once the fit stage has
+    materialized the repartitioned one."""
+    res = run_pipeline(spark, pages, collect_metrics=False)
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    words = sfa_downsample_words(spark, res.filled["1h"])
+    words.count()
+    after = set(jsc.getPersistentRDDs().keySet().toArray())
+    new = after - before
+    assert len(new) <= 1, f"expected ≤1 new persisted RDD, got {len(new)}"

@@ -173,3 +173,101 @@ def test_expire_survives_refresh_and_other_writers(spark, events, tmp_path):
         str(d["dt"]) for d in read_tier(spark, root).select("dt").distinct().collect()
     }
     assert got_days <= set(days[-2:])
+
+
+def test_concurrent_writers_both_commit(spark, tio, events):
+    """ADVICE r3 (medium): two temporally overlapping writers must not
+    both claim the same snapshot id — the loser's partitions and
+    exactly-once fence would be silently orphaned. The commit section is
+    an flock CAS: parent is re-read under the lock, so the second
+    committer rebases onto the first and BOTH commits land in the chain."""
+    import threading
+
+    df = events.withColumn("dt", F.to_date("ts"))
+    days = sorted(str(r["dt"]) for r in df.select("dt").distinct().collect())
+    a_days, b_days = days[: len(days) // 2], days[len(days) // 2 :]
+    errs = []
+
+    def writer(name, dd, metric):
+        try:
+            tio.write_snapshot(
+                df.filter(F.col("dt").isin(dd)), "dt", job=name, metrics=metric
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ta = threading.Thread(target=writer, args=("wa", a_days, {"fence_a": 1}))
+    tb = threading.Thread(target=writer, args=("wb", b_days, {"fence_b": 2}))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errs
+    chain = tio.lineage()
+    assert len(chain) == 2, [m["snapshot_id"] for m in chain]
+    assert {m["job"] for m in chain} == {"wa", "wb"}
+    assert chain[0]["parent"] == chain[1]["snapshot_id"]
+    m = tio.manifest()
+    # neither writer's partitions nor bookkeeping was orphaned
+    assert set(m["partitions"]) == set(days)
+    assert m["metrics"]["fence_a"] == 1 and m["metrics"]["fence_b"] == 2
+    assert tio.read(spark).count() == df.count()
+
+
+def test_expire_persists_cutoff_on_empty_drop(spark, events, tmp_path):
+    """ADVICE r3 (low): an expire whose window drops nothing committed
+    must STILL persist the advanced cutoff (metadata-only commit) —
+    otherwise days that exist only in the cumulative source (never
+    committed) are later resurrected by refresh_tier."""
+    import datetime as dt
+
+    from sfa_spark.incremental import expire_tier, refresh_tier
+    from sfa_spark.tableio import TableIO
+
+    df = events.withColumn("dt", F.to_date("ts"))
+    days = sorted(str(r["dt"]) for r in df.select("dt").distinct().collect())
+    assert len(days) >= 4
+    root = str(tmp_path / "tier_1d")
+    # commit only the LAST two days — the earlier days exist solely in
+    # the cumulative source
+    refresh_tier(
+        spark,
+        events.filter(F.to_date("ts").isin(days[-2:])),
+        root,
+        ["user_id"],
+        "ts",
+        "value",
+        tier="1d",
+    )
+    tio = TableIO(root)
+    assert sorted(tio.done_partitions()) == days[-2:]
+
+    # cutoff lands exactly at the first committed day: nothing committed
+    # is older, so the drop set is empty — but the cutoff must persist
+    now = dt.datetime.fromisoformat(days[-2]) + dt.timedelta(days=2)
+    r = expire_tier(root, now, keep_seconds=2 * 86400)
+    assert r["dropped"] == []
+    assert tio.manifest()["metrics"]["retention_cutoff_day"] == days[-2]
+
+    # a full-source refresh must NOT resurrect the never-committed days
+    r2 = refresh_tier(spark, events, root, ["user_id"], "ts", "value", tier="1d")
+    assert r2["expired"] == days[:-2]
+    assert all(d not in tio.done_partitions() for d in days[:-2])
+
+
+def test_expire_before_first_refresh(spark, events, tmp_path):
+    """Expire on an empty table records the cutoff so the FIRST refresh
+    already respects it."""
+    import datetime as dt
+
+    from sfa_spark.incremental import expire_tier, refresh_tier
+    from sfa_spark.tableio import TableIO
+
+    df = events.withColumn("dt", F.to_date("ts"))
+    days = sorted(str(r["dt"]) for r in df.select("dt").distinct().collect())
+    root = str(tmp_path / "tier_1d")
+    now = dt.datetime.fromisoformat(days[-1]) + dt.timedelta(days=1)
+    r = expire_tier(root, now, keep_seconds=2 * 86400)
+    assert r["dropped"] == []
+    tio = TableIO(root)
+    assert tio.manifest()["metrics"]["retention_cutoff_day"] == days[-2]
+
+    refresh_tier(spark, events, root, ["user_id"], "ts", "value", tier="1d")
+    assert sorted(tio.done_partitions()) == days[-2:]
