@@ -62,12 +62,16 @@ def extract_features(
                 img = decoder(bytes(payload or b""), meta)
                 h = (img.shape[0] // pool) * pool or img.shape[0]
                 w = (img.shape[1] // pool) * pool or img.shape[1]
-                img = img[:h, :w].astype(np.float32)
+                # pool in float64: block sums of uint8 divided by a
+                # power-of-two count are EXACT doubles, so the only
+                # rounding is the final deterministic float32 quantize —
+                # which makes the whole kernel oracle-able in plain SQL
+                img = img[:h, :w].astype(np.float64)
                 hp, wp = max(h // pool, 1), max(w // pool, 1)
                 pooled = img[: hp * pool, : wp * pool].reshape(
                     hp, pool if h >= pool else h, wp, pool if w >= pool else w, -1
                 ).mean(axis=(1, 3))
-                feats.append(pooled.ravel().tolist())
+                feats.append(pooled.astype(np.float32).ravel().tolist())
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
 
     return media.mapInPandas(run, schema="media_id long, features array<float>")

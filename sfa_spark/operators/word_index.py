@@ -242,6 +242,87 @@ def _mbr_lb(
     return float(d[0] * d[0] + 2.0 * (d[2:] * d[2:]).sum())
 
 
+def _verify_topk_scalar(
+    pdf: pd.DataFrame, lb: np.ndarray, qq: np.ndarray, k: int, bound: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Reference implementation of the exact-verify phase: candidates in
+    LB order, one ED at a time, list-sort top-k with early abandon
+    (SFATrie.searchNearestNeighbor's inner loop shape). Kept ONLY as the
+    test oracle for the batched kernel below."""
+    sel = np.flatnonzero(lb < bound)
+    lb_order = sel[np.argsort(lb[sel], kind="stable")]
+    best: list[tuple[float, int, int]] = []
+    worst = bound
+    for idx in lb_order:
+        if len(best) >= k and lb[idx] >= worst:
+            break
+        s = np.asarray(pdf["win"].iloc[idx], dtype=np.float64)
+        d = float(((s - qq) ** 2).sum())
+        if len(best) < k or d < worst:
+            best.append((d, int(pdf["key"].iloc[idx]), int(pdf["offset"].iloc[idx])))
+            best.sort()
+            best = best[:k]
+            if len(best) >= k:
+                worst = best[-1][0]
+    return (
+        np.asarray([b[0] for b in best], dtype=np.float64),
+        np.asarray([b[1] for b in best], dtype=np.int64),
+        np.asarray([b[2] for b in best], dtype=np.int64),
+    )
+
+
+def _verify_topk_batched(
+    pdf: pd.DataFrame,
+    lb: np.ndarray,
+    qq: np.ndarray,
+    k: int,
+    bound: float,
+    chunk: int = 2048,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched exact-verify: surviving candidates (LB < bound) are scored
+    in LB order as chunked ``((wins - q)**2).sum(axis=1)`` matrix passes —
+    one vectorized reduction per chunk instead of a Python loop per
+    candidate (the round-3 review's one perf-weak path). Early abandon is
+    kept at chunk granularity: once k results are held, a chunk whose
+    first (smallest) LB is ≥ the running bound ends the scan, and within
+    later chunks candidates are re-filtered against the tightened bound.
+
+    Result: the k smallest (dist, key, offset) tuples among scored
+    candidates — identical to the scalar oracle except when two
+    candidates tie EXACTLY on distance at the k-th boundary (the scalar's
+    arrival-order strictness vs full tuple order; distances are always
+    identical, which is what the no-false-dismissals contract promises)."""
+    sel = np.flatnonzero(lb < bound)
+    order = sel[np.argsort(lb[sel], kind="stable")]
+    wins = pdf["win"].to_numpy()
+    keys = pdf["key"].to_numpy()
+    offs = pdf["offset"].to_numpy()
+    best_d = np.empty(0, dtype=np.float64)
+    best_k = np.empty(0, dtype=np.int64)
+    best_o = np.empty(0, dtype=np.int64)
+    worst = bound
+    pos = 0
+    while pos < order.size:
+        if best_d.size >= k and lb[order[pos]] >= worst:
+            break
+        c = order[pos : pos + chunk]
+        pos += chunk
+        if best_d.size >= k:
+            c = c[lb[c] < worst]
+            if c.size == 0:
+                continue
+        w_mat = np.stack(wins[c])
+        d = ((w_mat - qq) ** 2).sum(axis=1)
+        all_d = np.concatenate([best_d, d])
+        all_k = np.concatenate([best_k, keys[c].astype(np.int64)])
+        all_o = np.concatenate([best_o, offs[c].astype(np.int64)])
+        top = np.lexsort((all_o, all_k, all_d))[:k]
+        best_d, best_k, best_o = all_d[top], all_k[top], all_o[top]
+        if best_d.size >= k:
+            worst = float(best_d[-1])
+    return best_d, best_k, best_o
+
+
 def knn_query_index(
     spark: SparkSession,
     root: str,
@@ -309,30 +390,10 @@ def knn_query_index(
                     continue
                 words = np.stack(pdf["word"].to_numpy()).astype(np.int64)
                 lb = sfa_lower_bound(words, wq, dq, mm.bins, mm.norm_mean)
-                sel = np.flatnonzero(lb < (bound if bound is not None else np.inf))
-                lb_order = sel[np.argsort(lb[sel], kind="stable")]
-                best: list[tuple[float, int, int]] = []
-                worst = bound if bound is not None else np.inf
-                for idx in lb_order:
-                    if len(best) >= k and lb[idx] >= worst:
-                        break
-                    s = np.asarray(pdf["win"].iloc[idx], dtype=np.float64)
-                    d = float(((s - qq) ** 2).sum())
-                    if len(best) < k or d < worst:
-                        best.append(
-                            (d, int(pdf["key"].iloc[idx]), int(pdf["offset"].iloc[idx]))
-                        )
-                        best.sort()
-                        best = best[:k]
-                        if len(best) >= k:
-                            worst = best[-1][0]
-                yield pd.DataFrame(
-                    {
-                        "key": [b[1] for b in best],
-                        "offset": [b[2] for b in best],
-                        "dist": [b[0] for b in best],
-                    }
+                d, ks, os_ = _verify_topk_batched(
+                    pdf, lb, qq, k, bound if bound is not None else np.inf
                 )
+                yield pd.DataFrame({"key": ks, "offset": os_, "dist": d})
 
         out = df.mapInPandas(per_part, schema="key long, offset int, dist double")
         return (

@@ -597,13 +597,43 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(d.unionAll(edited), max_hamming=3)
 
 
-@register("multimodal_features")
+@register(
+    "multimodal_features",
+    """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS len
+  FROM documents WHERE doc_id < 200
+), px AS (
+  SELECT media_id,
+         (i // 96) // 8 AS by,
+         ((i // 3) % 32) // 8 AS bx,
+         i % 3 AS ch,
+         CASE WHEN len = 0 THEN 0
+              ELSE ('0x' || substr(hx, ((i % len) * 2) + 1, 2))::INTEGER END AS b
+  FROM d, generate_series(0, 2303) AS t(i)
+), cell AS (
+  SELECT media_id, by, bx, ch,
+         CAST(CAST(sum(b) / 64.0 AS FLOAT) AS DOUBLE) AS f
+  FROM px GROUP BY 1, 2, 3, 4
+)
+SELECT media_id, CAST(count(*) AS INT) AS n_features,
+       round(sum(f) / count(*), 4) AS mean_feature
+FROM cell GROUP BY 1
+""",
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over opaque binary payloads: documents' text
     bytes become the payload column with typed metadata, then the
     mapInPandas decode→pool feature kernel runs with the deterministic
-    fake decoder (the real decoder is an injection point — no image libs
-    in this container). Rows-only check; schema/batching real."""
+    fake decoder (the real decoder is an injection point — see
+    sfa_spark.operators.png for the stdlib PNG path).
+
+    Oracled bit-exactly in DuckDB: the fake decoder tiles the payload
+    bytes to h·w·c = 24·32·3 (np.resize cycling ≡ ``i % len`` byte
+    indexing via hex-pair extraction), the 8×8 pool means are exact
+    doubles (integer sums / 64), quantized to float32 exactly as the
+    engine's ``array<float>`` feature column is."""
     from sfa_spark.operators.multimodal import extract_features, fake_image_decoder
 
     d = _documents(spark, sf_dir).filter(F.col("doc_id") < 200)
@@ -631,19 +661,70 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_word_index")
+@register(
+    "knn_word_index",
+    """
+WITH ser AS (
+  SELECT CAST(user_id AS BIGINT) AS key,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS idx,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE user_id < 40
+), len AS (
+  SELECT key, max(idx) AS maxidx FROM ser GROUP BY 1
+), qkey AS (
+  SELECT min(key) AS qk FROM ser WHERE key < 8
+), qraw AS (
+  SELECT s.idx - 5 AS pos, s.v FROM ser s, qkey WHERE s.key = qkey.qk AND s.idx BETWEEN 5 AND 20
+), qstat AS (
+  SELECT sum(v) / 16 AS mu,
+         CASE WHEN sum(v * v) / 16 - (sum(v) / 16) * (sum(v) / 16) > 0
+              THEN 1.0 / sqrt(sum(v * v) / 16 - (sum(v) / 16) * (sum(v) / 16))
+              ELSE 1.0 END AS inv
+  FROM qraw
+), qn AS (
+  SELECT pos, (v - qstat.mu) * qstat.inv AS q FROM qraw, qstat
+), win AS (
+  SELECT a.key, a.idx AS "offset", b.idx - a.idx AS pos, b.v
+  FROM ser a
+  JOIN ser b ON a.key = b.key AND b.idx BETWEEN a.idx AND a.idx + 15
+  JOIN len l ON l.key = a.key
+  WHERE a.idx + 15 <= l.maxidx
+), wstat AS (
+  SELECT key, "offset", sum(v) / 16 AS mu,
+         CASE WHEN sum(v * v) / 16 - (sum(v) / 16) * (sum(v) / 16) > 0
+              THEN 1.0 / sqrt(sum(v * v) / 16 - (sum(v) / 16) * (sum(v) / 16))
+              ELSE 1.0 END AS inv
+  FROM win GROUP BY 1, 2
+), d AS (
+  SELECT w.key, w."offset",
+         sum(((w.v - s.mu) * s.inv - q.q) * ((w.v - s.mu) * s.inv - q.q)) AS d
+  FROM win w
+  JOIN wstat s ON w.key = s.key AND w."offset" = s."offset"
+  JOIN qn q ON q.pos = w.pos
+  GROUP BY 1, 2
+)
+SELECT key, "offset", round(d, 6) AS dist
+FROM d ORDER BY d, key, "offset" LIMIT 5
+""",
+)
 def knn_word_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-prefix-partitioned persistent k-NN index (SFABulkLoad
-    analogue): build over per-user event series, query, return top-k —
-    rows-only check (index semantics have no SQL equivalent; tests assert
-    index == brute force + partition pruning)."""
+    analogue): build over per-user event series, query, return top-k.
+
+    The oracle is DuckDB brute force over the same search space the
+    index covers exactly (no false dismissals, SFATrieTest.java:172-200):
+    length-16 sliding windows per series, z-normed with the population-σ
+    / σ=0→1 guard (TimeSeries.java:82), squared ED to the z-normed fixed
+    query (series min(user_id<8), values [5:21]), ORDER BY dist,key,offset
+    LIMIT 5. The fit is distributed (fit_windowing_df), so the query is
+    end-to-end Spark except the k-row result + 16-value query vector."""
     import tempfile
 
     import numpy as np
     from pyspark.sql.window import Window as W
 
     from sfa_spark.operators.word_index import build_word_index, knn_query_index
-    from sfa_spark.transform.sfa import fit_windowing
+    from sfa_spark.transform.sfa_df import fit_windowing_df
 
     ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -652,17 +733,28 @@ def knn_word_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").alias("series_id"), "t", "value")
         .filter(F.col("series_id") < 40)
     )
-    pdf = ser.filter(F.col("series_id") < 8).orderBy("series_id", "t").toPandas()
-    series = [
-        g["value"].to_numpy(dtype=float) for _, g in pdf.groupby("series_id")
-    ]
-    model = fit_windowing(series, 16, 4, 4, norm_mean=True)
-    query = series[0][5:21]
+    fit_ser = ser.filter(F.col("series_id") < 8)
+    model = fit_windowing_df(
+        fit_ser, "series_id", "t", "value", 16, 4, 4, norm_mean=True
+    )
+    # query vector: 16 points of the lowest fit series (a bounded collect)
+    qk = fit_ser.agg(F.min("series_id")).first()[0]
+    query = np.asarray(
+        [
+            r["value"]
+            for r in fit_ser.filter(
+                (F.col("series_id") == qk) & F.col("t").between(6, 21)
+            )
+            .orderBy("t")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
     # build + query under a scoped temp dir; materialize the (tiny, k-row)
     # result before cleanup so repeated driver/bench invocations leak nothing
     with tempfile.TemporaryDirectory(prefix="sfa_widx_") as tmp:
         build_word_index(ser, model, tmp + "/index", prefix_len=2)
-        res, stats = knn_query_index(spark, tmp + "/index", np.asarray(query), k=5)
+        res, stats = knn_query_index(spark, tmp + "/index", query, k=5)
     out = spark.createDataFrame(res)
     return out.select("key", "offset", F.round("dist", 6).alias("dist"))
 

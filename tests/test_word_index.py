@@ -181,3 +181,54 @@ def test_incremental_append_matches_brute_force(spark, tmp_path):
     got, stats = knn_query_index(spark, root, batch3[0][5 : 5 + W], k=1)
     assert got["dist"].iloc[0] <= 1e-18  # finds the newly appended window
     assert info3["windows"] == info2["windows"] + info3["appended_windows"]
+
+
+def test_batched_verify_matches_scalar_and_is_faster():
+    """VERDICT r3 item 3: the kNN exact-verify phase is a chunked matrix
+    reduction, not a per-candidate Python loop. Parity: on a tie-free
+    random-walk corpus the batched kernel returns exactly the scalar
+    oracle's (dist, key, offset) top-k for permissive AND tight bounds.
+    Perf: ≥3× over the scalar loop on a 20k-candidate verify batch (the
+    post-prune cardinality a weak bound leaves at 100× corpus scale)."""
+    import time
+
+    from sfa_spark.operators.word_index import (
+        _verify_topk_batched,
+        _verify_topk_scalar,
+    )
+
+    rng = np.random.default_rng(3)
+    n, w, k = 20_000, 16, 5
+    wins = rng.standard_normal((n, w)).cumsum(axis=1)
+    wins = (wins - wins.mean(axis=1, keepdims=True)) / wins.std(axis=1, keepdims=True)
+    pdf = pd.DataFrame(
+        {
+            "key": rng.integers(0, 50, n),
+            "offset": np.arange(n),
+            "win": list(wins),
+        }
+    )
+    q = wins[123] + 0.01 * rng.standard_normal(w)
+    true_d = ((wins - q) ** 2).sum(axis=1)
+    # an LB that actually lower-bounds ED (half the true distance) so the
+    # early-abandon paths in both kernels are exercised, plus a sloppy one
+    for lb in (0.5 * true_d, np.zeros(n)):
+        for bound in (np.inf, float(np.partition(true_d, 50)[50])):
+            sd, sk, so = _verify_topk_scalar(pdf, lb, q, k, bound)
+            bd, bk, bo = _verify_topk_batched(pdf, lb, q, k, bound, chunk=777)
+            np.testing.assert_allclose(bd, sd, rtol=0, atol=0)
+            np.testing.assert_array_equal(bk, sk)
+            np.testing.assert_array_equal(bo, so)
+
+    # timing: no early abandon possible (lb=0 everywhere, bound=inf) —
+    # both kernels must score every candidate
+    zeros = np.zeros(n)
+    t0 = time.perf_counter()
+    _verify_topk_scalar(pdf, zeros, q, k, np.inf)
+    t_scalar = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _verify_topk_batched(pdf, zeros, q, k, np.inf)
+    t_batched = time.perf_counter() - t0
+    assert t_scalar / t_batched >= 3.0, (
+        f"batched verify only {t_scalar / t_batched:.1f}x over scalar"
+    )
