@@ -34,28 +34,53 @@ def _fresh_spark(cores: int):
     return get_spark(f"sfa_bench_{cores}", cores=cores, shuffle_partitions=cores)
 
 
-def run_queries(spark, sf_dir: str, n_urls: int) -> tuple[dict, dict]:
+def run_queries(
+    spark, sf_dir: str, n_urls: int, best_of: int | None = None
+) -> tuple[dict, dict]:
     from sfa_spark.encode import encode_tier_blocks_gapfill
     from sfa_spark.generator import generate_pages
     from sfa_spark.pipeline import run_pipeline, sfa_downsample_words
     from sfa_spark.rollup import gap_fill_locf, reaggregate, rollup_tier
 
+    best_of = best_of or int(os.environ.get("SPARK_GRAFT_BEST_OF", "3"))
     times: dict[str, float] = {}
     extras: dict = {}
 
-    def timed(name, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        times[name] = round(time.perf_counter() - t0, 3)
+    def timed(name, fn, clear_new_caches=False):
+        """Best-of-N timing (VERDICT r3 item 4): each headline query runs
+        ``best_of`` times and reports the min — on this noisy virtualized
+        host single-shot timings of sub-second queries wander ±0.2s,
+        which previous rounds had to explain away as phantom regressions.
+        ``clear_new_caches`` unpersists any cache a repetition created
+        (Spark's CacheManager would otherwise serve repetition 2 from
+        repetition 1's internal persist, timing a cache read instead of
+        the query)."""
+        jmap = spark.sparkContext._jsc.getPersistentRDDs
+        best, out = None, None
+        for _ in range(best_of):
+            before = set(jmap().keySet().toArray()) if clear_new_caches else set()
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            if clear_new_caches:
+                m = jmap()
+                for rid in set(m.keySet().toArray()) - before:
+                    m.get(rid).unpersist(True)
+        times[name] = round(best, 3)
         return out
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
 
-    # the 1m tier is cached after its timed computation: on a cluster the
-    # tier is a STORED table — downstream stages (cascade, gap-fill,
-    # encode) read it, they don't recompute the raw scan per query
-    t1m = rollup_tier(events, ["user_id"], "ts", "value", "1m").cache()
-    timed("q_rollup_1m", lambda: t1m.count())
+    # q_rollup_1m is the UNCACHED gauge: every repetition pays the full
+    # raw scan + aggregation on an uncached plan; the tier is then
+    # cached + materialized UNTIMED (on a cluster the tier is a STORED
+    # table — downstream stages read it, they don't recompute the raw
+    # scan per query)
+    t1m_plan = rollup_tier(events, ["user_id"], "ts", "value", "1m")
+    timed("q_rollup_1m", lambda: t1m_plan.count())
+    t1m = t1m_plan.cache()
+    t1m.count()
     t1h = reaggregate(t1m, ["user_id"], "1h")
     timed("q_rollup_1h", lambda: t1h.count())
     timed("q_rollup_1d", lambda: reaggregate(t1h, ["user_id"], "1d").count())
@@ -98,9 +123,11 @@ def run_queries(spark, sf_dir: str, n_urls: int) -> tuple[dict, dict]:
         lambda: sfa_downsample_words(
             spark, filled_1h_pages, approx_rows=n_filled
         ).count(),
+        clear_new_caches=True,
     )
     filled_1h_pages.unpersist()
     pages.unpersist()
+    extras["best_of"] = best_of
     return times, extras
 
 
@@ -393,7 +420,7 @@ def write_scaling_md(s: dict, sf_dir: str) -> None:
         "",
         "## bench.py cache policy (cross-round comparability)",
         "",
-        "`bench.py` caches the 1m tier after its timed computation",
+        "`bench.py` materializes the 1m tier as a cache UNTIMED",
         '(bench.py — "on a cluster the tier IS a stored table"): the',
         "downstream headline queries (q_rollup_1h/1d, q_locf_1h,",
         "q_encode_1m, and anything cascading off the tier) read the cached",
@@ -402,12 +429,35 @@ def write_scaling_md(s: dict, sf_dir: str) -> None:
         "table. Consequences for cross-round comparisons:",
         "",
         "- **q_rollup_1m is the uncached gauge**: its timed count pays the",
-        "  full raw scan + aggregation, so it is the number to compare for",
-        "  raw-scan/agg engine work round over round.",
+        "  full raw scan + aggregation (on an UNCACHED plan since r4), so",
+        "  it is the number to compare for raw-scan/agg engine work round",
+        "  over round.",
         "- Downstream queries measure their OWN operator cost on a warm",
         "  tier; part of the r1→r2 improvement in those queries came from",
         "  introducing this cache (r1 recomputed the tier per query), so",
         "  compare them per-query against r2+, not r1.",
+        "",
+        "## Headline timings are best-of-3 since round 4 — NOT comparable",
+        "## to the single-shot numbers of rounds 1-3",
+        "",
+        "Round-3 verdict item 4: single-shot timings of sub-second queries",
+        "on this noisy virtualized host produced phantom ±0.2s swings that",
+        "each round then had to explain away. Since r4 every headline query",
+        "runs SPARK_GRAFT_BEST_OF (default 3) times and reports the min —",
+        "the same policy the scaling path always used. Reps that persist",
+        "internal caches (q_sfa_words) unpersist them between reps so rep 2",
+        "never times a cache read. Effects, measured at sf0.1:",
+        "",
+        "- The r3 'regressions' in q_rollup_1h/1d/q_locf_1h VANISH at",
+        "  best-of-3 (1.074→0.38, 0.763→0.406, 0.811→0.326 s): they were",
+        "  first-hit warmup/host noise, not engine changes — exactly what",
+        "  the verdict's bisect-or-vanish test asked.",
+        "- Warm steady-state minimums are far below cold single-shots",
+        "  (q_rollup_1m 2.46→0.36 s): the drop is the measurement policy,",
+        "  not an engine speedup. Compare r4+ rounds to each other, and",
+        "  treat r≤3 totals as a different (single-shot) metric.",
+        "- throughput_points_per_sec is computed from the same best-of",
+        "  times and inherits the policy change.",
     ]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
@@ -457,6 +507,7 @@ def main() -> None:
         "throughput_points_per_sec": r["extras"]["points_per_sec_rollup_encode"],
         "encode_ratio": r["extras"]["encode_ratio"],
         "n_pages": r["extras"]["n_pages"],
+        "best_of": r["extras"]["best_of"],
     }
     print(json.dumps(line))
 
