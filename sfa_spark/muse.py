@@ -137,11 +137,25 @@ def _fit_window_and_words_muse(args):
     return m, ws
 
 
-def fit_muse(spark, samples: list[list[np.ndarray]], labels: np.ndarray) -> MUSEModel:
+def fit_muse(
+    spark,
+    samples: list[list[np.ndarray]],
+    labels: np.ndarray,
+    windows: list[int] | None = None,
+) -> MUSEModel:
+    """Fit the full MUSE grid. ``windows=None`` sweeps every length in
+    [MIN_WINDOW, min(MAX_WINDOW, max series length)] like the reference
+    default; passing an explicit list bounds the sweep (the reference
+    classifier exposes the same dial via maxWindowLength,
+    MUSEClassifier.java) — long-series datasets (e.g. AReM, 480 points)
+    make the dense sweep O(length) SFA fits per grid config."""
     labels = np.asarray(labels, dtype=np.float64)
     n_dims = len(samples[0])
     max_len = min(MAX_WINDOW, max(len(d) for dims in samples for d in dims))
-    windows = list(range(MIN_WINDOW, max_len + 1))
+    if windows is None:
+        windows = list(range(MIN_WINDOW, max_len + 1))
+    else:
+        windows = sorted(w for w in windows if MIN_WINDOW <= w <= max_len)
     folds = _stratified_folds(labels, FOLDS)
     all_idx = np.arange(len(samples))
 

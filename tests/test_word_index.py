@@ -232,3 +232,105 @@ def test_batched_verify_matches_scalar_and_is_faster():
     assert t_scalar / t_batched >= 3.0, (
         f"batched verify only {t_scalar / t_batched:.1f}x over scalar"
     )
+
+
+def test_bulk_load_million_point_index(spark, tmp_path):
+    """SFABulkLoadTest.java:169-279 analogue at engine scale: a ~1M-point
+    seeded random-walk corpus (64 series x 16384 points) is indexed via
+    CHUNKED incremental appends — each append transforms ONLY its chunk
+    (build memory is bounded by chunk, not corpus: the driver holds just
+    the manifest MBR map, whose size is capped at alpha^prefix_len
+    entries regardless of corpus size). k=1 queries at sampled offsets
+    must equal a distributed brute-force scan exactly, with prefix
+    partitions provably pruned."""
+    from sfa_spark.operators.word_index import append_word_index
+    from sfa_spark.transform import mft as _mft
+
+    n_series, n_points, chunk = 64, 16_384, 8
+
+    def gen_chunk(id0: int, count: int):
+        def gen(batches):
+            for pdf in batches:
+                frames = []
+                for sid in pdf["id"]:
+                    rng = np.random.default_rng((99, int(sid)))
+                    vals = rng.standard_normal(n_points).cumsum()
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "series_id": np.full(n_points, sid, dtype=np.int64),
+                                "t": np.arange(n_points, dtype=np.int32),
+                                "value": vals,
+                            }
+                        )
+                    )
+                yield pd.concat(frames, ignore_index=True)
+
+        return (
+            spark.range(id0, id0 + count)
+            .repartition(count)
+            .mapInPandas(gen, "series_id long, t int, value double")
+        )
+
+    # bins fit on the FIRST chunk only (the reference's bulk loader also
+    # quantizes inserts against a frozen SFA fit on a bounded sample)
+    rng = np.random.default_rng((99, 0))
+    first = [
+        np.random.default_rng((99, s)).standard_normal(n_points).cumsum()
+        for s in range(chunk)
+    ]
+    model = fit_windowing(first, W, L, ALPHA, norm_mean=True)
+
+    root = str(tmp_path / "widx_bulk")
+    info = build_word_index(gen_chunk(0, chunk), model, root, prefix_len=2)
+    for id0 in range(chunk, n_series, chunk):
+        info = append_word_index(gen_chunk(id0, chunk), root)
+        # driver-side state stays bounded by the prefix space, not the
+        # corpus: at most ALPHA**prefix_len MBR entries ever exist
+        assert info["prefixes"] <= ALPHA**2
+
+    total_windows = n_series * (n_points - W + 1)
+    assert info["windows"] == total_windows
+    assert total_windows > 1_000_000
+
+    def brute_min(query, k):
+        full = TableIO(root).read(spark)
+        qn = _mft.znorm(np.asarray(query, dtype=np.float64), True).tolist()
+
+        def pp(batches):
+            q = np.asarray(qn)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.stack(pdf["win"].to_numpy())
+                d = ((mat - q) ** 2).sum(axis=1)
+                o = np.argsort(d, kind="stable")[:k]
+                yield pd.DataFrame(
+                    {
+                        "key": pdf["key"].to_numpy()[o],
+                        "offset": pdf["offset"].to_numpy()[o],
+                        "dist": d[o],
+                    }
+                )
+
+        out = full.mapInPandas(pp, "key long, offset int, dist double").toPandas()
+        return out.sort_values(["dist", "key", "offset"]).head(k).reset_index(drop=True)
+
+    qrng = np.random.default_rng(5)
+    pruned_any = False
+    for trial in range(3):
+        sid = int(qrng.integers(0, n_series))
+        off = int(qrng.integers(0, n_points - W))
+        base = np.random.default_rng((99, sid)).standard_normal(n_points).cumsum()
+        # one verbatim window (self-match) and one perturbed query
+        query = base[off : off + W]
+        if trial > 0:
+            query = query + 0.05 * qrng.standard_normal(W)
+        got, stats = knn_query_index(spark, root, query, k=1)
+        want = brute_min(query, 1)
+        np.testing.assert_allclose(
+            got["dist"].to_numpy(), want["dist"].to_numpy(), rtol=1e-9, atol=1e-9
+        )
+        assert stats["prefixes_read"] <= stats["prefixes_total"]
+        pruned_any = pruned_any or stats["prefixes_read"] < stats["prefixes_total"]
+    assert pruned_any, "no query pruned any prefix partition"
