@@ -418,6 +418,29 @@ def write_scaling_md(s: dict, sf_dir: str) -> None:
         "even the bare shared-nothing kernel achieves (0.705) on this",
         "host pair.",
         "",
+        "## Round-4 residual-chasing attempts (verdict r3 item 8)",
+        "",
+        "Three attempts at the 32-core residual (job 0.523 vs bare kernel",
+        "0.705 on the 8→32 pair), all pinned `taskset -c 0-31`, REP=96",
+        "input (6.04B points), best-of-2, same day as a 5.38s baseline:",
+        "",
+        "| variant | wall sec | vs baseline |",
+        "|---|---|---|",
+        "| baseline (fan-out ×2, shuffle via tmpfs) | 5.384 | — |",
+        "| two concurrent key-half jobs (fill the idle tail) | 5.509 | +2% |",
+        "| shuffle-FREE read of the key-partitioned table (64 scan parts) | 5.332 | −1% |",
+        "| fan-out ×3 (96 parts) / ×5 (160) | 5.849 / 6.328 | −9% / −18% |",
+        "",
+        "Removing the ENTIRE encode shuffle is a wash: shuffle bytes move",
+        "through tmpfs, i.e. the same DRAM bus the kernel is already",
+        "saturating — so neither the shuffle nor the stage barrier is the",
+        "32-core limiter on this host; the memory-stall CPU inflation in",
+        "the breakdown below is. (On a real cluster the shuffle-free",
+        "bucketed read IS the right plan — it removes network+serde, not",
+        "just local memcpy; see encode_tier_blocks_gapfill's",
+        "pre_partitioned flag.) The 8→32 pair on this host remains",
+        "host-measured; the clean small pair carries the engine evidence.",
+        "",
         "## bench.py cache policy (cross-round comparability)",
         "",
         "`bench.py` materializes the 1m tier as a cache UNTIMED",

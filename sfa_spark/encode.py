@@ -98,8 +98,22 @@ def encode_tier_blocks_gapfill(
     ts_col: str = "bucket_ts",
     max_block: int = 4096,
     partitions: int | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Fused LOCF gap-fill + block encode — the scale path.
+
+    ``pre_partitioned=True`` skips the repartition exchange entirely:
+    the caller asserts every key's rows are wholly contained in single
+    input partitions (a tier table stored bucketed/hash-partitioned by
+    key, read with whole-file scan partitions — keep files below
+    ``spark.sql.files.maxPartitionBytes`` so the reader never splits
+    one). On a cluster this removes the stage's network+serde shuffle
+    of every observed row — the bucketed-join-style co-location the
+    north rule's "hash-bucket-by-url" partitioning exists to enable.
+    (On the local sandbox it is a wash: local shuffle is a tmpfs
+    memcpy over the same saturated DRAM bus — measured in
+    BENCH/BASELINE.md round-4 attempts.) Output is byte-identical to
+    the shuffled path — tested.
 
     ``encode_tier_blocks(gap_fill_locf(t))`` materializes the dense bucket
     spine as DataFrame rows: at 1m resolution a year-long key is ~526k
@@ -141,15 +155,14 @@ def encode_tier_blocks_gapfill(
     # LOCF carry between blocks is plain sequential state inside the
     # kernel — no dense spine rows, no window, no self-join, and IPC cost
     # is per PARTITION (applyInPandas would pay per BLOCK).
-    obs = (
-        tier_df.select(
-            *key_cols,
-            F.unix_micros(F.col(ts_col)).alias("_us"),
-            F.col(value_col).cast("double").alias("_v"),
-        )
-        .repartition(n_part, *key_cols)
-        .sortWithinPartitions(*key_cols, "_us")
+    obs = tier_df.select(
+        *key_cols,
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        F.col(value_col).cast("double").alias("_v"),
     )
+    if not pre_partitioned:
+        obs = obs.repartition(n_part, *key_cols)
+    obs = obs.sortWithinPartitions(*key_cols, "_us")
 
     key_schema = ", ".join(f"{c} {_key_type(tier_df, c)}" for c in key_cols)
     schema = (

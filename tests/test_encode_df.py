@@ -89,3 +89,55 @@ def test_fused_encode_streams_across_arrow_batches(spark, events):
     assert (fused["n"].values == unfused["n"].values).all()
     assert all(bytes(a) == bytes(b) for a, b in zip(fused["dod_blob"], unfused["dod_blob"]))
     assert all(bytes(a) == bytes(b) for a, b in zip(fused["gorilla_blob"], unfused["gorilla_blob"]))
+
+
+def test_pre_partitioned_encode_shuffle_free_and_byte_identical(spark, events, tmp_path):
+    """pre_partitioned=True: encoding a tier table STORED hash-partitioned
+    by key skips the repartition exchange (no Exchange in the plan — on a
+    cluster that is the whole shuffle of every observed row) and produces
+    byte-identical blocks. Scan confs pin whole-file partitions so a
+    key's rows can never be split across scan partitions."""
+    from pyspark.sql import functions as F
+
+    from sfa_spark.encode import encode_tier_blocks_gapfill
+    from sfa_spark.rollup import rollup_tier
+
+    tier = rollup_tier(events, ["user_id"], "ts", "value", "1m")
+    path = str(tmp_path / "t1m_bucketed.parquet")
+    tier.repartition(8, "user_id").write.parquet(path)
+
+    conf = spark.conf
+    old_mpb = conf.get("spark.sql.files.maxPartitionBytes")
+    old_oc = conf.get("spark.sql.files.openCostInBytes")
+    try:
+        # one whole file per scan partition (files are far below 4MB)
+        conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        conf.set("spark.sql.files.openCostInBytes", "0")
+        stored = spark.read.parquet(path)
+
+        pre = encode_tier_blocks_gapfill(
+            stored, ["user_id"], tier="1m", pre_partitioned=True
+        )
+        plan = pre._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+
+        cols = ["user_id", "block_id"]
+        a = (
+            pre.toPandas().sort_values(cols).reset_index(drop=True)
+        )
+        b = (
+            encode_tier_blocks_gapfill(stored, ["user_id"], tier="1m")
+            .toPandas()
+            .sort_values(cols)
+            .reset_index(drop=True)
+        )
+    finally:
+        conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        conf.set("spark.sql.files.openCostInBytes", old_oc)
+    assert len(a) == len(b) > 0
+    assert (a["block_id"].values == b["block_id"].values).all()
+    assert (a["n"].values == b["n"].values).all()
+    assert all(bytes(x) == bytes(y) for x, y in zip(a["dod_blob"], b["dod_blob"]))
+    assert all(
+        bytes(x) == bytes(y) for x, y in zip(a["gorilla_blob"], b["gorilla_blob"])
+    )
