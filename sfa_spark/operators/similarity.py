@@ -233,6 +233,124 @@ def lsh_topk(
     )
 
 
+def fit_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+    sample_rows: int = 50_000,
+    iters: int = 12,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer: spherical k-means (Lloyd's on
+    unit vectors, centroids re-normalized each step — the cosine-metric
+    variant) over a BOUNDED deterministic sample. Training on a sample
+    is the standard IVF recipe (the coarse quantizer only routes; the
+    full corpus is ASSIGNED distributed, never collected). Returns a
+    (n_centroids, dim) float64 matrix — driver-sized by construction,
+    like the engine's other broadcast artifacts (SFA bins, MBRs)."""
+    sample = (
+        with_unit_vectors(emb, vec_col, "_u")
+        .select(id_col, "_u")
+        .orderBy(id_col)
+        .limit(sample_rows)
+        .toPandas()
+    )
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in sample["_u"]])
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(x))
+    cent = x[rng.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+            else:  # empty list: reseed from a random sample row
+                cent[c] = x[rng.integers(0, len(x))]
+    return cent
+
+
+def _ivf_assign_udf(centroids: np.ndarray, nprobe: int):
+    """argtop-nprobe centroid ids per vector — one BLAS matmul per Arrow
+    batch against the broadcast-by-closure centroid matrix."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent_t = np.ascontiguousarray(centroids.T)
+
+    @pandas_udf("array<int>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        vm = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        sims = vm @ cent_t  # (n, k)
+        p = min(nprobe, sims.shape[1])
+        top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+        # order the probes best-first (argpartition is unordered)
+        row = np.arange(len(vm))[:, None]
+        top = np.take_along_axis(
+            top, np.argsort(-sims[row, top], axis=1), axis=1
+        )
+        return pd.Series(list(top.astype(np.int32)))
+
+    return assign
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 11,
+    centroids: np.ndarray | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """IVF approximate cosine top-k — the inverted-list scale path the
+    brief names alongside LSH. Corpus vectors are bucketed by nearest
+    coarse centroid (their inverted list, ONE list per vector); each
+    query probes its ``nprobe`` nearest lists and exact-rescoring runs
+    only there, so work is ~nprobe/n_centroids of brute force. The join
+    is a bucketed equi-join on the list id with the (small) query side
+    broadcast — never all-pairs, the same shape the LSH/minhash paths
+    use. ``nprobe == n_centroids`` probes every list and is EXACTLY
+    brute force (tested; the driver oracle runs this mode)."""
+    if centroids is None:
+        centroids = fit_ivf_centroids(
+            emb, n_centroids, id_col, vec_col, seed=seed
+        )
+    c = with_unit_vectors(emb, vec_col, "_cu").select(
+        id_col,
+        "_cu",
+        _ivf_assign_udf(centroids, 1)(F.col("_cu"))[0].alias("_list"),
+    )
+    q = with_unit_vectors(queries, vec_col, "_qu").select(
+        query_id_col,
+        "_qu",
+        F.explode(_ivf_assign_udf(centroids, nprobe)(F.col("_qu"))).alias("_list"),
+    )
+    score = _dot(F.col("_cu"), F.col("_qu"))
+    if round_to is not None:
+        # rank on the rounded score so ties break identically in a
+        # 6-dp SQL oracle (same policy as the brute-force driver query)
+        score = F.round(score, round_to)
+    scored = c.join(F.broadcast(q), "_list").select(
+        query_id_col, id_col, score.alias("score")
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
 def cosine_near_dup(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -323,6 +323,45 @@ def knn_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ivf_cosine_top3",
+    """
+WITH uq AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS embedding
+  FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding), 6) AS score
+  FROM embeddings e CROSS JOIN uq q
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+  ) AS rank FROM scored
+) WHERE rank <= 3
+""",
+)
+def ivf_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (inverted-list coarse quantizer) run in its EXACT mode —
+    nprobe == n_centroids probes every list, so the whole IVF machinery
+    (sampled spherical k-means fit, distributed matmul assignment,
+    bucketed probe join, rescore) must reproduce brute force bit-for-bit
+    against the same DuckDB oracle the brute-force query uses. The
+    approximate setting (nprobe < n_centroids) is recall-tested in
+    pytest (no SQL form — depends on the learned centroids)."""
+    from sfa_spark.operators.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        emb, q, k=3, n_centroids=8, nprobe=8, round_to=6
+    )
+
+
 def _profile_sql(lang: str) -> str:
     from sfa_spark.operators.textstats import _LANG_PROFILES
 

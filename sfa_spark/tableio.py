@@ -295,6 +295,31 @@ class TableIO:
             })
         return snap
 
+    def gc_stale_staging(self, max_age_seconds: float = 24 * 3600) -> list[str]:
+        """Remove ``.stage-*`` directories older than ``max_age_seconds``
+        — the data a writer staged but never committed (killed between
+        the parquet write and the commit lock). Committed snapshots are
+        never touched: commit RENAMES the stage dir away, so anything
+        still named ``.stage-*`` is by construction unreferenced. The
+        age guard keeps a live writer's in-flight staging safe (pass 0
+        only when no writer can be running). Returns removed paths."""
+        import shutil
+        import time
+
+        removed = []
+        now = time.time()
+        for name in os.listdir(self.root):
+            if not name.startswith(".stage-"):
+                continue
+            p = os.path.join(self.root, name)
+            try:
+                if now - os.path.getmtime(p) >= max_age_seconds:
+                    shutil.rmtree(p)
+                    removed.append(p)
+            except FileNotFoundError:
+                pass  # another GC raced us — already gone
+        return removed
+
     def lineage(self) -> list[dict]:
         """Snapshot chain, newest first."""
         out, cur = [], self.current_snapshot()

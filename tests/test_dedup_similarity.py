@@ -346,3 +346,51 @@ def test_batched_signature_kernels_match_per_doc_reference():
     t_ref = time.time() - t0
     assert np.array_equal(mat, want_sig) and np.array_equal(fps, want_fp)
     assert t_ref / max(t_batch, 1e-9) >= 3.0, (t_ref, t_batch)
+
+
+def test_ivf_topk_exact_when_probing_all_lists(spark, embeddings, queries):
+    """IVF with nprobe == n_centroids probes every inverted list — the
+    result must equal brute force EXACTLY (every corpus vector sits in
+    exactly one list and every list is scored): the machinery loses
+    nothing, only the nprobe < K setting trades recall for work."""
+    from sfa_spark.operators.similarity import ivf_topk
+
+    exact = (
+        brute_force_topk(embeddings, queries, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    ivf = (
+        ivf_topk(embeddings, queries, k=5, n_centroids=8, nprobe=8)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(ivf["vec_id"].values, exact["vec_id"].values)
+    np.testing.assert_allclose(ivf["score"].values, exact["score"].values, rtol=1e-12)
+
+
+def test_ivf_topk_recall_and_work_bound(spark, embeddings):
+    """nprobe < n_centroids: perturbed-corpus queries (cos ≈ 0.99+) must
+    recover their true neighbor at rank 1 — the IVF analogue of the LSH
+    recall test — while scoring only the probed lists' members."""
+    from sfa_spark.operators.similarity import fit_ivf_centroids, ivf_topk
+
+    rng = np.random.default_rng(13)
+    base = embeddings.limit(5).toPandas()
+    qrows = []
+    for _, r in base.iterrows():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        v = v + rng.standard_normal(v.size) * 0.02 * np.linalg.norm(v) / np.sqrt(v.size)
+        qrows.append((int(r["vec_id"]), [float(x) for x in v]))
+    queries = spark.createDataFrame(qrows, "query_id long, embedding array<float>")
+    cent = fit_ivf_centroids(embeddings, n_centroids=16)
+    assert cent.shape[0] == 16
+    np.testing.assert_allclose(np.linalg.norm(cent, axis=1), 1.0, rtol=1e-9)
+    approx = ivf_topk(
+        embeddings, queries, k=3, n_centroids=16, nprobe=4, centroids=cent
+    ).toPandas()
+    top1 = approx[approx["rank"] == 1]
+    assert (top1["vec_id"] == top1["query_id"]).all()
+    assert (top1["score"] > 0.95).all()

@@ -271,3 +271,27 @@ def test_expire_before_first_refresh(spark, events, tmp_path):
 
     refresh_tier(spark, events, root, ["user_id"], "ts", "value", tier="1d")
     assert sorted(tio.done_partitions()) == days[-2:]
+
+
+def test_gc_stale_staging(spark, tio, events):
+    """A writer killed between its parquet write and the commit lock
+    leaves a .stage-* dir; gc_stale_staging removes aged ones and never
+    touches committed snapshots or fresh in-flight staging."""
+    import os
+    import time
+
+    df = events.withColumn("dt", F.to_date("ts")).limit(100)
+    tio.write_snapshot(df, "dt", job="ok")
+    n_before = tio.read(spark).count()
+
+    old = os.path.join(tio.root, ".stage-deadbeef")
+    fresh = os.path.join(tio.root, ".stage-cafe")
+    os.makedirs(old); os.makedirs(fresh)
+    past = time.time() - 48 * 3600
+    os.utime(old, (past, past))
+
+    removed = tio.gc_stale_staging(max_age_seconds=24 * 3600)
+    assert removed == [old]
+    assert not os.path.exists(old) and os.path.exists(fresh)
+    assert tio.read(spark).count() == n_before
+    assert tio.current_snapshot() == "snap-000001"
