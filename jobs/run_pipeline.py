@@ -28,11 +28,24 @@ def main() -> None:
     ap.add_argument("--tiers", nargs="+", default=["1m", "1h", "1d"])
     ap.add_argument("--n-urls", type=int, default=400, help="synthetic scale when --pages omitted")
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument(
+        "--keep-days",
+        type=int,
+        default=None,
+        help="retention window per tier: expire day partitions older than "
+        "KEEP_DAYS before the newest committed day (metadata-only commit; "
+        "omit to keep everything)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
 
-    from sfa_spark.incremental import read_tier, refresh_encoded_tier, refresh_tier
+    from sfa_spark.incremental import (
+        expire_tier,
+        read_tier,
+        refresh_encoded_tier,
+        refresh_tier,
+    )
     from sfa_spark.pipeline import signals_long
     from sfa_spark.session import get_spark
     from sfa_spark.tableio import TableIO
@@ -75,6 +88,20 @@ def main() -> None:
             "skipped_days": len(r["skipped"]),
             "stale_days": len(r.get("stale", [])),
         }
+        if args.keep_days is not None:
+            # retention anchored to the DATA's newest committed day, not
+            # wall clock — deterministic and re-runnable; expired days
+            # are fenced from future refreshes by the persisted cutoff
+            import datetime as _dt
+
+            tio = TableIO(root)
+            days = sorted(tio.done_partitions())
+            if days:
+                now = _dt.datetime.fromisoformat(days[-1]) + _dt.timedelta(days=1)
+                e = expire_tier(root, now, keep_seconds=args.keep_days * 86400)
+                report["tiers"][tier]["expired_days"] = len(e["dropped"])
+            removed = tio.gc_stale_staging()
+            report["tiers"][tier]["gc_staging"] = len(removed)
 
     # encode the finest tier from its committed snapshot
 
@@ -95,6 +122,7 @@ def main() -> None:
         "snapshot": r["snapshot"],
         "processed_buckets": len(r["processed"]),
         "skipped_buckets": len(r["skipped"]),
+        "vanished_buckets": len(r.get("vanished", [])),
         "points": sum(v["points"] for v in enc.values()),
         "ratio": round(
             sum(v["enc_bytes"] for v in enc.values())
