@@ -610,17 +610,135 @@ def cosine_pairs_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- non-SQL-expressible operators: rows-only driver check ----------------
+# --- signature-sketch oracles ---------------------------------------------
+# The FNV-style shingle hashes and the minhash/simhash sketches are pure
+# INTEGER arithmetic (uint64 wraparound + Mersenne mod) — DuckDB computes
+# them EXACTLY with HUGEINT: bytes come from hex-pair indexing of the
+# lowered utf-8 text, the k=5 window hash is Σ byte·FNV^j mod 2^64, and
+# the seeded hash-family constants are generated in Python (same
+# np.random.default_rng draw as the engine) and inlined as literals.
+
+_FNV = 1099511628211
+_U64 = 1 << 64
+_MERSENNE_SQL = (1 << 61) - 1
 
 
-@register("simhash_near_dups")
+def _shingle_sql_parts() -> str:
+    """The shared shingle-hash window expression over (hx, len, p)."""
+    pows = [pow(_FNV, j, _U64) for j in range(5)]
+    byte = (
+        "(CASE WHEN (p+{o})*2+2 <= length(hx) "
+        "THEN (('0x'||substr(hx, (p+{o})*2+1, 2))::INTEGER)::HUGEINT "
+        "ELSE 0::HUGEINT END)"
+    )
+    return " + ".join(f"{byte.format(o=j)} * {pows[j]}::HUGEINT" for j in range(5))
+
+
+def _minhash_oracle_sql() -> str:
+    import numpy as np
+
+    rng = np.random.default_rng(1)  # same draw as minhash_signatures(seed=1)
+    a = rng.integers(1, _MERSENNE_SQL, size=64, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE_SQL, size=64, dtype=np.uint64)
+    consts = ", ".join(
+        f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)" for i in range(64)
+    )
+    return f"""
+WITH consts(i, ca, cb) AS (VALUES {consts}),
+d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         hex(encode(lower(text))) AS hx,
+         greatest(octet_length(encode(lower(text))), 5) AS len
+  FROM documents
+), px AS (
+  SELECT doc_id, hx, unnest(generate_series(0, len - 5)) AS p FROM d
+), sh AS (
+  SELECT DISTINCT doc_id, ({_shingle_sql_parts()}) % {_U64}::HUGEINT AS h FROM px
+), sig AS (
+  SELECT s.doc_id, c.i,
+         CAST(min(((c.ca * s.h + c.cb) % {_U64}::HUGEINT)
+                  % {_MERSENNE_SQL}::HUGEINT) AS BIGINT) AS m
+  FROM sh s CROSS JOIN consts c GROUP BY 1, 2
+), bands AS (
+  SELECT doc_id, j, list(m ORDER BY i) AS bv
+  FROM sig, generate_series(0, 15) AS t(j)
+  WHERE i >= j * 4 AND i < j * 4 + 4
+  GROUP BY doc_id, j
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y ON x.j = y.j AND x.bv = y.bv AND x.doc_id < y.doc_id
+), est AS (
+  SELECT c.id_a, c.id_b,
+         sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0 AS jaccard_est
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= 0.5
+"""
+
+
+def _simhash_oracle_sql() -> str:
+    pw = ", ".join(f"({i}, {1 << i}::HUGEINT)" for i in range(64))
+    cw = ", ".join(f"({i}, {1 << (16 * i)}::HUGEINT)" for i in range(4))
+    return f"""
+WITH raw AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT CAST(doc_id + 1000000 AS BIGINT), text || ' appended footer'
+  FROM documents WHERE doc_id < 100 AND doc_id % 4 = 0
+), d AS (
+  SELECT doc_id, hex(encode(lower(text))) AS hx,
+         greatest(octet_length(encode(lower(text))), 5) AS len
+  FROM raw
+), px AS (
+  SELECT doc_id, hx, unnest(generate_series(0, len - 5)) AS p FROM d
+), sh AS (
+  SELECT DISTINCT doc_id, ({_shingle_sql_parts()}) % {_U64}::HUGEINT AS h FROM px
+), pw(bit, v) AS (VALUES {pw}),
+cnt AS (
+  SELECT s.doc_id, w.bit,
+         sum(CASE WHEN (s.h // w.v) % 2 = 1 THEN 1 ELSE 0 END) AS c,
+         count(*) AS n
+  FROM sh s CROSS JOIN pw w GROUP BY 1, 2
+), fp AS (
+  SELECT c.doc_id,
+         sum(CASE WHEN 2 * c.c > c.n THEN w.v ELSE 0::HUGEINT END)::HUGEINT AS fpu
+  FROM cnt c JOIN pw w USING (bit) GROUP BY 1
+), fps AS (
+  SELECT doc_id, fpu,
+         CAST(CASE WHEN fpu >= {1 << 63}::HUGEINT THEN fpu - {_U64}::HUGEINT
+              ELSE fpu END AS BIGINT) AS fp
+  FROM fp
+), cw(ci, dv) AS (VALUES {cw}),
+chunks AS (
+  SELECT f.doc_id, f.fp, c.ci, CAST((f.fpu // c.dv) % 65536 AS BIGINT) AS cv
+  FROM fps f CROSS JOIN cw c
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fa, b.fp AS fb
+  FROM chunks a
+  JOIN chunks b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+"""
+
+
+@register("simhash_near_dups", _simhash_oracle_sql())
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs (pigeonhole chunk join + bit_count
     verify). The testdata has no near-dups, so every 4th document is
     unioned back with a lightly edited copy — the query must recover
-    exactly those planted pairs (fingerprints come from python FNV
-    shingles: rows-only driver check; pytest asserts the planted
-    recovery)."""
+    exactly those planted pairs.
+
+    Oracled bit-exactly in DuckDB (previously rows-only): shingle FNV
+    window hashes, per-bit majority, two's-complement fingerprint, the
+    16-bit pigeonhole chunk join and the hamming verify all reproduce in
+    HUGEINT integer arithmetic. The only semantic difference is the
+    candidate bucket key (the oracle joins on chunk VALUES directly —
+    identical semantics, no hash); the >500 degenerate-bucket guard
+    can't fire at driver scale (≤500 docs total) so it is omitted."""
     from sfa_spark.operators.dedup import simhash_dedup
 
     # bounded scope: the synthetic corpus is template-generated, so loose
@@ -858,10 +976,21 @@ def gorilla_blocks_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocks.select("user_id", "block_id", "n", "raw_bytes")
 
 
-@register("minhash_near_dups")
+@register("minhash_near_dups", _minhash_oracle_sql())
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs over documents (seeded —
-    deterministic; probabilistic semantics so rows-only check)."""
+    deterministic).
+
+    Oracled bit-exactly in DuckDB (previously rows-only): the k=5 FNV
+    window hashes, the 64 seeded hash families ((a·h + b) mod 2^64 mod
+    M_61 — the same wraparound the uint64 kernels compute), the 16×4
+    banding and the equal-slots/64 Jaccard estimate are all exact
+    integer/dyadic arithmetic in HUGEINT. The a/b constants are drawn
+    with the identical seeded numpy rng at SQL-generation time and
+    inlined as literals. Band candidates join on band VALUES (the engine
+    buckets by xxhash64 of the slice — identical semantics up to a
+    ~2^-64 bucket-collision probability); the >500 bucket guard can't
+    fire at driver scale (≤500 docs)."""
     from sfa_spark.operators.dedup import minhash_lsh_dedup
 
     return minhash_lsh_dedup(_documents(spark, sf_dir), threshold=0.5)
