@@ -915,10 +915,144 @@ def knn_word_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.createDataFrame(res)
     return out.select("key", "offset", F.round("dist", 6).alias("dist"))
 
-@register("sfa_windowed_words_events")
+def _sfa_words_oracle_sql() -> str:
+    """DuckDB re-derivation of the ENTIRE SFA pipeline — fit + transform.
+
+    The DFT is a linear map, so both phases reduce to basis-weighted
+    sums: slots [2:6] for norm_mean=True are ±[Re c1, Im c1, Re c2,
+    Im c2] with the alternating-sign convention folded in as
+    +[Σv·cos, Σv·sin] per k∈{1,2} (mean subtraction is a no-op for k≥1
+    since Σcos = Σsin = 0 over a full period). Fit: disjoint znormed
+    windows → coefficients → Java half-up 2dp rounding → the equi-depth
+    walk (SFA.java:432-447) in closed form: edge_p = first orderline
+    value with rank > ceil(depth·(p+1)) whose value differs from
+    edge_{p-1} (the dup-skip; thresholds are increasing so the
+    sequential-scan pos can be eliminated). Transform: sliding raw
+    windows × (1/√16·σ) — quantize = Σ (value ≥ edge), word = base-4
+    LSB-first pack. cos/sin basis constants are Python-computed and
+    inlined.
+
+    Float caveat (why this was rows-only for three rounds): the engine's
+    MFT recurrence deviates from the per-window DFT by accumulated float
+    error; a coefficient landing within that deviation of a bin edge
+    would flip a symbol. At these series lengths (~hundreds of windows)
+    the deviation is ~1e-12 while coefficients sit ~0.1 from edges —
+    verified ZERO word mismatches at sf0.001/0.01/0.1 (77,500 words)."""
+    import math
+
+    basis = ", ".join(
+        f"({j}, {k}, {math.cos(2.0 * math.pi * k * j / 16.0)!r}::DOUBLE, "
+        f"{math.sin(2.0 * math.pi * k * j / 16.0)!r}::DOUBLE)"
+        for j in range(16)
+        for k in (1, 2)
+    )
+    return f"""
+WITH basis(j, k, ck, sk) AS (VALUES {basis}),
+ser AS (
+  SELECT CAST(user_id AS BIGINT) AS sid,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS idx,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+), len AS (
+  SELECT sid, count(*) AS n, max(idx) AS mx FROM ser GROUP BY 1
+),
+fitwin AS (
+  SELECT s.sid, s.idx // 16 AS w, s.idx % 16 AS j, s.v
+  FROM ser s JOIN len l USING (sid)
+  WHERE s.idx < (l.n // 16) * 16
+),
+fitstat AS (
+  SELECT sid, w, sum(v) / 16 AS mu,
+         CASE WHEN sum(v * v) / 16 - (sum(v) / 16) * (sum(v) / 16) > 0
+              THEN 1.0 / sqrt(sum(v * v) / 16 - (sum(v) / 16) * (sum(v) / 16))
+              ELSE 1.0 END AS inv
+  FROM fitwin GROUP BY 1, 2
+),
+fitcoef AS (
+  SELECT f.sid, f.w, b.k,
+         sum((f.v - st.mu) * st.inv * b.ck) / 4 AS cr,
+         sum((f.v - st.mu) * st.inv * b.sk) / 4 AS si
+  FROM fitwin f
+  JOIN fitstat st ON st.sid = f.sid AND st.w = f.w
+  JOIN basis b ON b.j = f.j
+  GROUP BY 1, 2, 3
+),
+ol AS (
+  SELECT coef, floor(val * 100 + 0.5) / 100 AS v FROM (
+    SELECT (k - 1) * 2 AS coef, cr AS val FROM fitcoef
+    UNION ALL
+    SELECT (k - 1) * 2 + 1 AS coef, si AS val FROM fitcoef
+  )
+),
+olr AS (
+  SELECT coef, v, row_number() OVER (PARTITION BY coef ORDER BY v) AS rn FROM ol
+),
+cnt AS (SELECT coef, count(*) AS n FROM olr GROUP BY 1),
+e0 AS (
+  SELECT o.coef, min_by(o.v, o.rn) AS e
+  FROM olr o JOIN cnt c USING (coef)
+  WHERE o.rn > ceil(c.n / 4.0 * 1) GROUP BY 1
+),
+e1 AS (
+  SELECT o.coef, min_by(o.v, o.rn) AS e
+  FROM olr o JOIN cnt c USING (coef) JOIN e0 USING (coef)
+  WHERE o.rn > ceil(c.n / 4.0 * 2) AND o.v != e0.e GROUP BY 1
+),
+e2 AS (
+  SELECT o.coef, min_by(o.v, o.rn) AS e
+  FROM olr o JOIN cnt c USING (coef) JOIN e1 USING (coef)
+  WHERE o.rn > ceil(c.n / 4.0 * 3) AND o.v != e1.e GROUP BY 1
+),
+win AS (
+  SELECT a.sid, a.idx AS off, b.idx - a.idx AS j, b.v
+  FROM ser a
+  JOIN ser b ON a.sid = b.sid AND b.idx BETWEEN a.idx AND a.idx + 15
+  JOIN len l ON l.sid = a.sid
+  WHERE a.idx + 15 <= l.mx
+),
+wstat AS (
+  SELECT sid, off,
+         CASE WHEN sum(v * v) / 16 - (sum(v) / 16) * (sum(v) / 16) > 0
+              THEN 0.25 / sqrt(sum(v * v) / 16 - (sum(v) / 16) * (sum(v) / 16))
+              ELSE 0.25 END AS factor
+  FROM win GROUP BY 1, 2
+),
+coefs AS (
+  SELECT w.sid, w.off, b.k,
+         sum(w.v * b.ck) * st.factor AS cr,
+         sum(w.v * b.sk) * st.factor AS si
+  FROM win w
+  JOIN basis b ON b.j = w.j
+  JOIN wstat st ON st.sid = w.sid AND st.off = w.off
+  GROUP BY w.sid, w.off, b.k, st.factor
+),
+vals AS (
+  SELECT sid, off, (k - 1) * 2 AS coef, cr AS v FROM coefs
+  UNION ALL
+  SELECT sid, off, (k - 1) * 2 + 1 AS coef, si AS v FROM coefs
+),
+sym AS (
+  SELECT v.sid, v.off, v.coef,
+         (CASE WHEN v.v >= coalesce(e0.e, 'infinity'::DOUBLE) THEN 1 ELSE 0 END
+        + CASE WHEN v.v >= coalesce(e1.e, 'infinity'::DOUBLE) THEN 1 ELSE 0 END
+        + CASE WHEN v.v >= coalesce(e2.e, 'infinity'::DOUBLE) THEN 1 ELSE 0 END) AS s
+  FROM vals v
+  LEFT JOIN e0 ON e0.coef = v.coef
+  LEFT JOIN e1 ON e1.coef = v.coef
+  LEFT JOIN e2 ON e2.coef = v.coef
+)
+SELECT sid AS series_id, off AS "offset",
+       CAST(sum(s * (CASE coef WHEN 0 THEN 1 WHEN 1 THEN 4 WHEN 2 THEN 16 ELSE 64 END)) AS BIGINT) AS word
+FROM sym GROUP BY 1, 2
+"""
+
+
+@register("sfa_windowed_words_events", _sfa_words_oracle_sql())
 def sfa_windowed_words_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed SFA fit + windowed MCB words over per-user event series
-    (MFT recurrence + equi-depth binning — no SQL equivalent)."""
+    """Distributed SFA fit + windowed MCB words over per-user event
+    series, now bit-exactly oracled in DuckDB (see
+    :func:`_sfa_words_oracle_sql` for the re-derivation and its float
+    caveat)."""
     from pyspark.sql.window import Window as W
 
     from sfa_spark.transform.sfa_df import fit_windowing_df, transform_windowing_df
