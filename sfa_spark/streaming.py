@@ -164,16 +164,25 @@ def tier_batch_sink(tio, tier: str):
         m = tio.manifest() or {}
         done = m.get("metrics", {}).get("stream_batch_id", -1)
         if batch_id <= done:
-            return  # replayed batch — already committed
+            return  # replayed batch — cheap early skip (no data write)
         rows = batch_df.withColumn("dt", F.to_date("bucket_ts"))
         if rows.isEmpty():
             return
+        # the authoritative fence re-checks UNDER the commit lock: two
+        # concurrent replays of the same batch can both pass the early
+        # check above, but only the first one's commit survives — the
+        # loser's staged data is discarded atomically (exactly-once
+        # under arbitrary writer interleaving, not just sink retries)
         tio.write_snapshot(
             rows,
             "dt",
             job=f"stream_batch_{batch_id}",
             metrics={"tier": tier, "stream_batch_id": batch_id},
             merge_partitions=True,
+            precondition=lambda man: man.get("metrics", {}).get(
+                "stream_batch_id", -1
+            )
+            < batch_id,
         )
 
     return sink

@@ -113,7 +113,8 @@ class TableIO:
         metrics: dict | None = None,
         carry_forward: bool = True,
         merge_partitions: bool = False,
-    ) -> str:
+        precondition=None,
+    ) -> str | None:
         """Write ``df`` partitioned by ``partition_col`` as a new snapshot.
 
         With ``carry_forward`` the new manifest inherits the parent's
@@ -124,6 +125,13 @@ class TableIO:
         and this write keeps the parent's files too (``paths`` list) —
         append semantics (the word index's SFATrie.mergeTrees analogue)
         instead of the default replace semantics.
+
+        ``precondition`` (manifest-dict -> bool) is evaluated UNDER the
+        commit lock against the then-current manifest; returning False
+        aborts the commit (staged data is discarded, returns None). This
+        is how conditional fences — e.g. the streaming sink's
+        exactly-once batch-id check — stay atomic against concurrent
+        writers: a check done before the lock could pass in two racers.
         """
         # data files are written to a writer-private staging dir OUTSIDE
         # the commit lock (the long part — minutes at scale); the
@@ -152,6 +160,13 @@ class TableIO:
             # a concurrent writer that committed while our data was
             # being written becomes our parent (rebase), never a victim
             parent = self.current_snapshot()
+            if precondition is not None and not precondition(
+                self.manifest(parent) or {}
+            ):
+                import shutil
+
+                shutil.rmtree(stage, ignore_errors=True)
+                return None
             snap = self._next_snapshot_id()
             os.rename(stage, os.path.join(self.root, snap))
             parts = {

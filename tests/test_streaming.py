@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from sfa_spark.rollup import rollup_tier
 from sfa_spark.streaming import run_stream_once
@@ -210,3 +211,106 @@ def test_streaming_locf_late_rows_dropped_not_misbucketed(spark, tmp_path):
     assert 99.0 not in set(got["value"])
     # dense 5-bucket range, LOCF-filled: 10,10,12,12,14
     assert got["value"].tolist() == [10.0, 10.0, 12.0, 12.0, 14.0]
+
+
+def test_concurrent_same_batch_replays_commit_once(spark, events, tmp_path):
+    """Two CONCURRENT replays of the same stream batch (both passing the
+    cheap pre-check) must produce exactly ONE commit: the fence re-checks
+    under the commit lock, the loser's staged data is discarded."""
+    import threading
+
+    from sfa_spark.rollup import rollup_tier
+    from sfa_spark.streaming import tier_batch_sink
+    from sfa_spark.tableio import TableIO
+
+    tio = TableIO(str(tmp_path / "stream_race"))
+    t1d = rollup_tier(events, ["user_id"], "ts", "value", "1d").withColumn(
+        "dt", F.to_date("bucket_ts")
+    )
+    sink = tier_batch_sink(tio, "1d")
+    errs = []
+
+    def run():
+        try:
+            sink(t1d, 7)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=run) for _ in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    chain = tio.lineage()
+    assert len(chain) == 1, [m["job"] for m in chain]
+    assert tio.manifest()["metrics"]["stream_batch_id"] == 7
+    # exactly one copy of the rows (a double commit with merge_partitions
+    # would double-append)
+    assert tio.read(spark).count() == t1d.count()
+    # no staged leftovers from the losing replay
+    import os
+
+    assert not [n for n in os.listdir(tio.root) if n.startswith(".stage-")]
+
+
+def test_concurrent_stream_sink_and_batch_refresh(spark, events, tmp_path):
+    """The ADVICE r3 multi-writer scenario end-to-end: a streaming batch
+    commit and a batch tier refresh interleave on the SAME table — both
+    must land (CAS rebase), the stream fence and the refresh fingerprints
+    must both survive, and the table must contain both writers' rows."""
+    import threading
+
+    from sfa_spark.incremental import refresh_tier
+    from sfa_spark.rollup import rollup_tier
+    from sfa_spark.streaming import tier_batch_sink
+    from sfa_spark.tableio import TableIO
+
+    root = str(tmp_path / "shared_tier")
+    tio = TableIO(root)
+    df = events.withColumn("dt", F.to_date("ts"))
+    days = sorted(str(r["dt"]) for r in df.select("dt").distinct().collect())
+    early, late = days[: len(days) // 2], days[len(days) // 2 :]
+
+    t1d = rollup_tier(
+        events.filter(F.to_date("ts").isin(late)), ["user_id"], "ts", "value", "1d"
+    ).withColumn("dt", F.to_date("bucket_ts"))
+    sink = tier_batch_sink(tio, "1d")
+    errs, results = [], {}
+
+    def stream_writer():
+        try:
+            sink(t1d, 3)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def batch_writer():
+        try:
+            results["refresh"] = refresh_tier(
+                spark,
+                events.filter(F.to_date("ts").isin(early)),
+                root,
+                ["user_id"],
+                "ts",
+                "value",
+                tier="1d",
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=stream_writer),
+        threading.Thread(target=batch_writer),
+    ]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    chain = tio.lineage()
+    assert len(chain) == 2
+    m = tio.manifest()
+    # both writers' bookkeeping survived the interleaving
+    assert m["metrics"]["stream_batch_id"] == 3
+    assert set(m["metrics"]["input_fp_by_day"]) == set(early)
+    assert set(m["partitions"]) == set(days)
+    # a replay of the stream batch after the refresh commit stays fenced
+    snap = tio.current_snapshot()
+    sink(t1d.withColumn("sum", F.col("sum") * 9), 3)
+    assert tio.current_snapshot() == snap
