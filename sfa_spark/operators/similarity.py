@@ -241,21 +241,28 @@ def fit_ivf_centroids(
     seed: int = 11,
     sample_rows: int = 50_000,
     iters: int = 12,
+    sample_mod: int | None = None,
 ) -> np.ndarray:
     """Train the IVF coarse quantizer: spherical k-means (Lloyd's on
     unit vectors, centroids re-normalized each step — the cosine-metric
-    variant) over a BOUNDED deterministic sample. Training on a sample
-    is the standard IVF recipe (the coarse quantizer only routes; the
-    full corpus is ASSIGNED distributed, never collected). Returns a
+    variant) over a BOUNDED sample. Training on a sample is the
+    standard IVF recipe (the coarse quantizer only routes; the full
+    corpus is ASSIGNED distributed, never collected). Returns a
     (n_centroids, dim) float64 matrix — driver-sized by construction,
-    like the engine's other broadcast artifacts (SFA bins, MBRs)."""
-    sample = (
-        with_unit_vectors(emb, vec_col, "_u")
-        .select(id_col, "_u")
-        .orderBy(id_col)
-        .limit(sample_rows)
-        .toPandas()
-    )
+    like the engine's other broadcast artifacts (SFA bins, MBRs).
+
+    Sampling: default is ``orderBy(id).limit`` — deterministic, but a
+    global sort, acceptable only on small corpora. At scale pass
+    ``sample_mod ≈ corpus_rows / sample_rows``: a pushdown-friendly
+    ``xxhash64(id) % mod == 0`` filter + limit — no sort, no full scan
+    beyond the limit, and the sample content (not its order, which
+    k-means doesn't care about) is a deterministic function of the ids."""
+    s = with_unit_vectors(emb, vec_col, "_u").select(id_col, "_u")
+    if sample_mod:
+        s = s.filter(F.pmod(F.xxhash64(id_col), F.lit(sample_mod)) == 0)
+        sample = s.limit(sample_rows).toPandas()
+    else:
+        sample = s.orderBy(id_col).limit(sample_rows).toPandas()
     x = np.stack([np.asarray(v, dtype=np.float64) for v in sample["_u"]])
     rng = np.random.default_rng(seed)
     k = min(n_centroids, len(x))
