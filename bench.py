@@ -42,7 +42,7 @@ def run_queries(
     from sfa_spark.pipeline import run_pipeline, sfa_downsample_words
     from sfa_spark.rollup import gap_fill_locf, reaggregate, rollup_tier
 
-    best_of = best_of or int(os.environ.get("SPARK_GRAFT_BEST_OF", "3"))
+    best_of = max(1, best_of or int(os.environ.get("SPARK_GRAFT_BEST_OF", "3")))
     times: dict[str, float] = {}
     extras: dict = {}
 

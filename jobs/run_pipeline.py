@@ -100,8 +100,10 @@ def main() -> None:
                 now = _dt.datetime.fromisoformat(days[-1]) + _dt.timedelta(days=1)
                 e = expire_tier(root, now, keep_seconds=args.keep_days * 86400)
                 report["tiers"][tier]["expired_days"] = len(e["dropped"])
-            removed = tio.gc_stale_staging()
-            report["tiers"][tier]["gc_staging"] = len(removed)
+        # staging GC runs unconditionally (not only under --keep-days):
+        # a writer killed mid-stage leaks .stage-* data regardless of
+        # whether retention is configured
+        report["tiers"][tier]["gc_staging"] = len(TableIO(root).gc_stale_staging())
 
     # encode the finest tier from its committed snapshot
 
@@ -114,6 +116,9 @@ def main() -> None:
         spark, tier_df, enc_root, ["series_key"], tier=finest,
         job=f"pipeline_encode_{finest}",
     )
+    # the encoded table's staging leaks too (its staged data — fully
+    # re-encoded buckets — is the largest in the job)
+    enc_gc = len(TableIO(enc_root).gc_stale_staging())
     enc = (TableIO(enc_root).manifest() or {}).get("metrics", {}).get(
         "encode_by_bucket", {}
     )
@@ -123,6 +128,7 @@ def main() -> None:
         "processed_buckets": len(r["processed"]),
         "skipped_buckets": len(r["skipped"]),
         "vanished_buckets": len(r.get("vanished", [])),
+        "gc_staging": enc_gc,
         "points": sum(v["points"] for v in enc.values()),
         "ratio": round(
             sum(v["enc_bytes"] for v in enc.values())

@@ -248,6 +248,11 @@ def refresh_encoded_tier(
     )
     if vanished:
         tio.drop_partitions(vanished, job=f"{job}_gc")
+        # prev_fps/prev_enc were captured BEFORE the gc commit — prune the
+        # dropped buckets so a subsequent data commit in this same refresh
+        # doesn't resurrect their bookkeeping via the {**prev, ...} merge
+        prev_fps = {b: v for b, v in prev_fps.items() if b not in vanished}
+        prev_enc = {b: v for b, v in prev_enc.items() if b not in vanished}
     if not to_process:
         return {
             "planned": planned,
@@ -330,21 +335,30 @@ def expire_tier(
     drop = [pk for pk in parts if pk < cutoff_day]
     # the cutoff is CUMULATIVE monotone manifest state: refresh_tier
     # consults it so expired days are never resurrected from the (still
-    # cumulative) input source on the next refresh
+    # cumulative) input source on the next refresh. The monotone max is
+    # evaluated against the manifest UNDER the commit lock (metrics_fn) —
+    # two concurrent expires with different windows would otherwise both
+    # read the same prev_cut and the later commit could REGRESS the
+    # cutoff, resurrecting days the other writer dropped
     prev_cut = (m or {}).get("metrics", {}).get("retention_cutoff_day", "")
-    metrics = {
-        "retention_cutoff_day": max(cutoff_day, prev_cut),
-        "keep_seconds": keep_seconds,
-    }
+
+    def merge_cutoff(cur: dict) -> dict:
+        return {
+            "retention_cutoff_day": max(
+                cutoff_day, cur.get("retention_cutoff_day", "")
+            ),
+            "keep_seconds": keep_seconds,
+        }
+
     if drop:
-        snap = tio.drop_partitions(drop, job=job, metrics=metrics)
+        snap = tio.drop_partitions(drop, job=job, metrics_fn=merge_cutoff)
     elif cutoff_day > prev_cut:
         # nothing committed falls inside the expired range, but the
         # cutoff still advanced — persist it as a metadata-only commit
         # so days that exist only in the cumulative source (expire
         # before first refresh, or cutoff sweeping past never-committed
         # days) are fenced from a later refresh_tier resurrection
-        snap = tio.commit_metrics(metrics, job=job)
+        snap = tio.commit_metrics(job=job, metrics_fn=merge_cutoff)
     else:
         snap = None
     return {

@@ -156,6 +156,11 @@ def fit_muse(
         windows = list(range(MIN_WINDOW, max_len + 1))
     else:
         windows = sorted(w for w in windows if MIN_WINDOW <= w <= max_len)
+        if not windows:
+            raise ValueError(
+                f"no usable window lengths: every requested window falls "
+                f"outside [{MIN_WINDOW}, {max_len}] for this dataset"
+            )
     folds = _stratified_folds(labels, FOLDS)
     all_idx = np.arange(len(samples))
 

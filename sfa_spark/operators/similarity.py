@@ -253,13 +253,19 @@ def fit_ivf_centroids(
 
     Sampling: default is ``orderBy(id).limit`` — deterministic, but a
     global sort, acceptable only on small corpora. At scale pass
-    ``sample_mod ≈ corpus_rows / sample_rows``: a pushdown-friendly
-    ``xxhash64(id) % mod == 0`` filter + limit — no sort, no full scan
-    beyond the limit, and the sample content (not its order, which
-    k-means doesn't care about) is a deterministic function of the ids."""
+    ``sample_mod ≈ corpus_rows / sample_rows``: an ``xxhash64(id) % mod
+    == 0`` filter prunes first (pushdown-friendly, no full-corpus sort),
+    then the survivors — expected ~sample_rows of them — are ordered by
+    hash before the limit, so the chosen subset is a deterministic
+    function of the ids even when the filter passes more rows than
+    requested (a bare limit would take whichever partitions answered
+    first)."""
     s = with_unit_vectors(emb, vec_col, "_u").select(id_col, "_u")
     if sample_mod:
-        s = s.filter(F.pmod(F.xxhash64(id_col), F.lit(sample_mod)) == 0)
+        s = (
+            s.filter(F.pmod(F.xxhash64(id_col), F.lit(sample_mod)) == 0)
+            .orderBy(F.xxhash64(id_col), id_col)
+        )
         sample = s.limit(sample_rows).toPandas()
     else:
         sample = s.orderBy(id_col).limit(sample_rows).toPandas()

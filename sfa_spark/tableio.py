@@ -168,7 +168,17 @@ class TableIO:
                 shutil.rmtree(stage, ignore_errors=True)
                 return None
             snap = self._next_snapshot_id()
-            os.rename(stage, os.path.join(self.root, snap))
+            target = os.path.join(self.root, snap)
+            if os.path.exists(target):
+                # orphan from a writer that crashed between its rename and
+                # the pointer flip: snapshot ids advance monotonically with
+                # the pointer, so a snap dir NUMBERED PAST _current was
+                # never committed and no manifest references it — reap it,
+                # or every future commit would fail the same rename forever
+                import shutil
+
+                shutil.rmtree(target)
+            os.rename(stage, target)
             parts = {
                 pk: {
                     "path": os.path.join(snap, meta["name"]),
@@ -241,7 +251,11 @@ class TableIO:
         return [p for p in map(str, planned) if p not in done]
 
     def drop_partitions(
-        self, keys: list[str], job: str = "retention", metrics: dict | None = None
+        self,
+        keys: list[str],
+        job: str = "retention",
+        metrics: dict | None = None,
+        metrics_fn=None,
     ) -> str | None:
         """Commit a snapshot WITHOUT the named partitions — a pure
         metadata delete (the Iceberg expire shape). No data is read or
@@ -279,19 +293,27 @@ class TableIO:
                 "metrics": {
                     **carried,
                     **(metrics or {}),
+                    # metrics_fn sees the carried (= then-current, pruned)
+                    # metrics UNDER the lock — for values whose merge rule
+                    # must not race other writers (e.g. a monotone max)
+                    **((metrics_fn(carried) if metrics_fn else {})),
                     "dropped_partitions": sorted(drop),
                 },
             })
         return snap
 
-    def commit_metrics(self, metrics: dict, job: str = "metadata") -> str:
+    def commit_metrics(
+        self, metrics: dict | None = None, job: str = "metadata", metrics_fn=None
+    ) -> str:
         """Commit a METADATA-ONLY snapshot: partitions unchanged (or
         empty if the table has none yet), only the metrics map updated.
         Needed when durable bookkeeping must advance without any data
         motion — e.g. a retention cutoff that found nothing to drop but
         must still fence future refreshes from resurrecting expired days
         (expire-before-first-refresh, or the cutoff sweeping past days
-        that were never committed)."""
+        that were never committed). ``metrics_fn`` (current-metrics →
+        dict) is evaluated UNDER the commit lock for merge rules that
+        must not race concurrent writers (a monotone max, a counter)."""
         with self._commit_lock():
             parent = self.current_snapshot()
             m = self.manifest(parent) or {
@@ -299,6 +321,7 @@ class TableIO:
                 "partitions": {},
                 "metrics": {},
             }
+            cur = m.get("metrics") or {}
             snap = self._next_snapshot_id()
             self._commit_manifest({
                 "snapshot_id": snap,
@@ -306,7 +329,11 @@ class TableIO:
                 "job": job,
                 "partition_col": m.get("partition_col"),
                 "partitions": m["partitions"],
-                "metrics": {**(m.get("metrics") or {}), **metrics},
+                "metrics": {
+                    **cur,
+                    **(metrics or {}),
+                    **((metrics_fn(cur) if metrics_fn else {})),
+                },
             })
         return snap
 

@@ -321,3 +321,36 @@ def test_refresh_encoded_tier_drops_vanished_buckets(spark, events, tmp_path):
     r3 = refresh_encoded_tier(spark, shrunk, root, KEY, tier="1m", n_buckets=nb)
     assert r3["processed"] == [] and r3["vanished"] == []
     tier.unpersist(); shrunk.unpersist()
+
+
+def test_vanished_bucket_bookkeeping_not_resurrected_by_same_refresh(
+    spark, events, tmp_path
+):
+    """Self-review r4: when ONE refresh both drops a vanished bucket AND
+    recomputes a stale one, the data commit's {**prev, ...} metrics merge
+    must not resurrect the dropped bucket's fp/encode entries."""
+    from sfa_spark.incremental import refresh_encoded_tier
+    from sfa_spark.tableio import TableIO
+
+    root = str(tmp_path / "enc_vanish2")
+    nb = 8
+    tier = rollup_tier(events, KEY, "ts", "value", "1m").cache()
+    r1 = refresh_encoded_tier(spark, tier, root, KEY, tier="1m", n_buckets=nb)
+    assert len(r1["planned"]) >= 2
+
+    gone = r1["planned"][0]
+    kb = F.pmod(F.xxhash64(*KEY), F.lit(nb)).cast("int")
+    # drop one bucket's keys AND perturb every other bucket's values —
+    # the refresh then has both a vanished bucket and stale to_process
+    shrunk = tier.filter(kb != int(gone)).withColumn(
+        "last", F.col("last") + 1.0
+    ).cache()
+    r2 = refresh_encoded_tier(spark, shrunk, root, KEY, tier="1m", n_buckets=nb)
+    assert r2["vanished"] == [gone]
+    assert len(r2["processed"]) > 0  # the data-commit path ran
+
+    m = TableIO(root).manifest()
+    assert gone not in m["partitions"]
+    assert gone not in m["metrics"]["fp_by_bucket"]
+    assert gone not in m["metrics"]["encode_by_bucket"]
+    tier.unpersist(); shrunk.unpersist()
