@@ -99,6 +99,7 @@ def encode_tier_blocks_gapfill(
     max_block: int = 4096,
     partitions: int | None = None,
     pre_partitioned: bool = False,
+    validate_pre_partitioned: bool = False,
 ) -> DataFrame:
     """Fused LOCF gap-fill + block encode — the scale path.
 
@@ -107,7 +108,13 @@ def encode_tier_blocks_gapfill(
     input partitions (a tier table stored bucketed/hash-partitioned by
     key, read with whole-file scan partitions — keep files below
     ``spark.sql.files.maxPartitionBytes`` so the reader never splits
-    one). On a cluster this removes the stage's network+serde shuffle
+    one). The claim is NOT validated at runtime by default: a key split
+    across input partitions silently produces duplicate blocks with a
+    broken LOCF carry, not an error. Pass
+    ``validate_pre_partitioned=True`` (test/first-deploy mode) to spend
+    one extra aggregation job asserting each key maps to exactly one
+    input partition before encoding.
+    On a cluster this removes the stage's network+serde shuffle
     of every observed row — the bucketed-join-style co-location the
     north rule's "hash-bucket-by-url" partitioning exists to enable.
     (On the local sandbox it is a wash: local shuffle is a tmpfs
@@ -162,6 +169,22 @@ def encode_tier_blocks_gapfill(
     )
     if not pre_partitioned:
         obs = obs.repartition(n_part, *key_cols)
+    elif validate_pre_partitioned:
+        split = (
+            obs.select(*key_cols, F.spark_partition_id().alias("_pid"))
+            .groupBy(*key_cols)
+            .agg(F.countDistinct("_pid").alias("_np"))
+            .filter(F.col("_np") > 1)
+            .limit(5)
+            .collect()
+        )
+        if split:
+            bad = ", ".join(str(tuple(r[c] for c in key_cols)) for r in split)
+            raise ValueError(
+                "pre_partitioned=True but these keys span multiple input "
+                f"partitions (first 5): {bad} — encoding would silently "
+                "produce duplicate blocks with broken LOCF carry"
+            )
     obs = obs.sortWithinPartitions(*key_cols, "_us")
 
     key_schema = ", ".join(f"{c} {_key_type(tier_df, c)}" for c in key_cols)

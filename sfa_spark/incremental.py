@@ -343,12 +343,16 @@ def expire_tier(
     prev_cut = (m or {}).get("metrics", {}).get("retention_cutoff_day", "")
 
     def merge_cutoff(cur: dict) -> dict:
-        return {
-            "retention_cutoff_day": max(
-                cutoff_day, cur.get("retention_cutoff_day", "")
-            ),
-            "keep_seconds": keep_seconds,
-        }
+        # record keep_seconds only when THIS writer's cutoff wins the
+        # monotone max — under concurrent expires with different windows
+        # a last-writer-wins keep_seconds could otherwise sit next to a
+        # cutoff it didn't produce (informational inconsistency)
+        if cutoff_day > cur.get("retention_cutoff_day", ""):
+            return {
+                "retention_cutoff_day": cutoff_day,
+                "keep_seconds": keep_seconds,
+            }
+        return {"retention_cutoff_day": cur.get("retention_cutoff_day", "")}
 
     if drop:
         snap = tio.drop_partitions(drop, job=job, metrics_fn=merge_cutoff)

@@ -233,6 +233,49 @@ def lsh_topk(
     )
 
 
+def ivf_sample_plan(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 50_000,
+    sample_mod: int | None = None,
+    corpus_rows: int | None = None,
+    auto_mod_factor: int = 4,
+) -> tuple[DataFrame, int]:
+    """Build the (lazy) sampling DataFrame for the IVF fit and resolve
+    the effective mod. Factored out so plan tests can assert the
+    large-corpus path contains NO global Sort — just scan + hash-mod
+    filter (the round-4 verdict's scale footgun: the old default was
+    ``orderBy(id)`` over the whole corpus, with the pushdown filter
+    opt-in and never passed by ``ivf_topk``).
+
+    ``sample_mod`` resolution:
+      * ``None`` (default) — AUTO: estimate corpus rows (``corpus_rows``
+        if the caller knows it, e.g. from manifest counts; else ONE
+        cheap column-pruned ``count()``) and derive
+        ``mod = rows // sample_rows`` whenever the corpus exceeds
+        ``auto_mod_factor × sample_rows``. Small corpora keep the exact
+        deterministic ``orderBy(id)`` path (a global sort is fine
+        there, and it samples every row).
+      * ``0``/``1`` — force the exact orderBy path.
+      * ``>1`` — explicit mod.
+
+    Returns (sample_df, mod) where mod==0 means the exact path. The mod
+    path's DataFrame carries ``_h = xxhash64(id)`` so the driver can
+    order survivors deterministically WITHOUT a corpus-side sort."""
+    s = with_unit_vectors(emb, vec_col, "_u").select(id_col, "_u")
+    if sample_mod is None:
+        rows = corpus_rows if corpus_rows is not None else emb.select(id_col).count()
+        sample_mod = rows // sample_rows if rows > auto_mod_factor * sample_rows else 0
+    if sample_mod and sample_mod > 1:
+        h = F.xxhash64(id_col)
+        return (
+            s.withColumn("_h", h).filter(F.pmod(h, F.lit(sample_mod)) == 0),
+            sample_mod,
+        )
+    return s.orderBy(id_col).limit(sample_rows), 0
+
+
 def fit_ivf_centroids(
     emb: DataFrame,
     n_centroids: int = 64,
@@ -242,6 +285,7 @@ def fit_ivf_centroids(
     sample_rows: int = 50_000,
     iters: int = 12,
     sample_mod: int | None = None,
+    corpus_rows: int | None = None,
 ) -> np.ndarray:
     """Train the IVF coarse quantizer: spherical k-means (Lloyd's on
     unit vectors, centroids re-normalized each step — the cosine-metric
@@ -251,24 +295,33 @@ def fit_ivf_centroids(
     (n_centroids, dim) float64 matrix — driver-sized by construction,
     like the engine's other broadcast artifacts (SFA bins, MBRs).
 
-    Sampling: default is ``orderBy(id).limit`` — deterministic, but a
-    global sort, acceptable only on small corpora. At scale pass
-    ``sample_mod ≈ corpus_rows / sample_rows``: an ``xxhash64(id) % mod
-    == 0`` filter prunes first (pushdown-friendly, no full-corpus sort),
-    then the survivors — expected ~sample_rows of them — are ordered by
-    hash before the limit, so the chosen subset is a deterministic
-    function of the ids even when the filter passes more rows than
-    requested (a bare limit would take whichever partitions answered
-    first)."""
-    s = with_unit_vectors(emb, vec_col, "_u").select(id_col, "_u")
-    if sample_mod:
-        s = (
-            s.filter(F.pmod(F.xxhash64(id_col), F.lit(sample_mod)) == 0)
-            .orderBy(F.xxhash64(id_col), id_col)
-        )
-        sample = s.limit(sample_rows).toPandas()
-    else:
-        sample = s.orderBy(id_col).limit(sample_rows).toPandas()
+    Sampling (see :func:`ivf_sample_plan`): large corpora are pruned by
+    an ``xxhash64(id) % mod == 0`` filter — pushdown-friendly, no
+    corpus-side sort — and the expected-~sample_rows survivors are
+    ordered DRIVER-side by (hash, id), so the chosen subset is a
+    deterministic function of the ids regardless of partitioning. The
+    mod is derived automatically from the corpus row count unless the
+    caller passes one. If the filter leaves fewer than ``n_centroids``
+    rows (corpus shrank, or a caller-supplied mod was too aggressive)
+    the fit FALLS BACK to the exact orderBy path instead of crashing in
+    ``np.stack`` or silently fitting a weak quantizer (ADVICE r4)."""
+    s, mod = ivf_sample_plan(
+        emb, id_col, vec_col, sample_rows, sample_mod, corpus_rows
+    )
+    sample = s.toPandas()
+    if mod:
+        if len(sample) < n_centroids:
+            # hash-mod filter starved the sample — take the exact path
+            s, _ = ivf_sample_plan(emb, id_col, vec_col, sample_rows, 0)
+            sample = s.toPandas()
+        else:
+            sample = (
+                sample.sort_values(["_h", id_col], kind="stable")
+                .head(sample_rows)
+                .reset_index(drop=True)
+            )
+    if len(sample) == 0:
+        raise ValueError("fit_ivf_centroids: corpus is empty — nothing to sample")
     x = np.stack([np.asarray(v, dtype=np.float64) for v in sample["_u"]])
     rng = np.random.default_rng(seed)
     k = min(n_centroids, len(x))
@@ -287,9 +340,15 @@ def fit_ivf_centroids(
     return cent
 
 
-def _ivf_assign_udf(centroids: np.ndarray, nprobe: int):
+def _ivf_assign_udf(centroids: np.ndarray, nprobe: int, round_to: int | None = None):
     """argtop-nprobe centroid ids per vector — one BLAS matmul per Arrow
-    batch against the broadcast-by-closure centroid matrix."""
+    batch against the broadcast-by-closure centroid matrix.
+
+    ``round_to`` rounds similarities before ranking and breaks ties by
+    LOWEST centroid id (stable argsort) — the determinism contract the
+    SQL oracle for the approximate mode needs: both engines rank on
+    round(sim, d) with cid-asc ties, so a float-path ULP wobble near a
+    tie can't flip the probe set between them."""
     from pyspark.sql.functions import pandas_udf
 
     cent_t = np.ascontiguousarray(centroids.T)
@@ -301,12 +360,18 @@ def _ivf_assign_udf(centroids: np.ndarray, nprobe: int):
         vm = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         sims = vm @ cent_t  # (n, k)
         p = min(nprobe, sims.shape[1])
-        top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
-        # order the probes best-first (argpartition is unordered)
-        row = np.arange(len(vm))[:, None]
-        top = np.take_along_axis(
-            top, np.argsort(-sims[row, top], axis=1), axis=1
-        )
+        if round_to is not None:
+            sims = np.round(sims, round_to)
+            # stable sort on -sims keeps original (= cid-ascending) order
+            # within rounded ties
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :p]
+        else:
+            top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+            # order the probes best-first (argpartition is unordered)
+            row = np.arange(len(vm))[:, None]
+            top = np.take_along_axis(
+                top, np.argsort(-sims[row, top], axis=1), axis=1
+            )
         return pd.Series(list(top.astype(np.int32)))
 
     return assign
@@ -324,6 +389,9 @@ def ivf_topk(
     seed: int = 11,
     centroids: np.ndarray | None = None,
     round_to: int | None = None,
+    round_assign: int | None = None,
+    sample_mod: int | None = None,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """IVF approximate cosine top-k — the inverted-list scale path the
     brief names alongside LSH. Corpus vectors are bucketed by nearest
@@ -333,20 +401,28 @@ def ivf_topk(
     is a bucketed equi-join on the list id with the (small) query side
     broadcast — never all-pairs, the same shape the LSH/minhash paths
     use. ``nprobe == n_centroids`` probes every list and is EXACTLY
-    brute force (tested; the driver oracle runs this mode)."""
+    brute force (tested; the driver oracle runs this mode). The
+    approximate mode (``nprobe < n_centroids``) with pinned centroids +
+    ``round_assign`` is deterministic and oracled too (ivf_probe_top3).
+
+    ``sample_mod``/``corpus_rows`` pass through to the centroid fit's
+    sampler (auto-derived mod at scale — see fit_ivf_centroids)."""
     if centroids is None:
         centroids = fit_ivf_centroids(
-            emb, n_centroids, id_col, vec_col, seed=seed
+            emb, n_centroids, id_col, vec_col, seed=seed,
+            sample_mod=sample_mod, corpus_rows=corpus_rows,
         )
     c = with_unit_vectors(emb, vec_col, "_cu").select(
         id_col,
         "_cu",
-        _ivf_assign_udf(centroids, 1)(F.col("_cu"))[0].alias("_list"),
+        _ivf_assign_udf(centroids, 1, round_assign)(F.col("_cu"))[0].alias("_list"),
     )
     q = with_unit_vectors(queries, vec_col, "_qu").select(
         query_id_col,
         "_qu",
-        F.explode(_ivf_assign_udf(centroids, nprobe)(F.col("_qu"))).alias("_list"),
+        F.explode(
+            _ivf_assign_udf(centroids, nprobe, round_assign)(F.col("_qu"))
+        ).alias("_list"),
     )
     score = _dot(F.col("_cu"), F.col("_qu"))
     if round_to is not None:

@@ -71,6 +71,25 @@ class TableIO:
         n = int(cur.split("-")[1]) + 1 if cur else 1
         return f"snap-{n:06d}"
 
+    def _claim_snapshot_id(self) -> str:
+        """Allocate the next snapshot id UNDER the commit lock, reaping
+        any orphan data dir a crashed writer left under that id (it
+        renamed its stage to snap-N but died before the pointer flip;
+        ids advance monotonically with the pointer, so a dir numbered
+        past ``_current`` was never committed and no live manifest
+        references it). Every commit path — data, drop, metadata-only —
+        must claim through here, or an orphan claimed by a metadata-only
+        commit would leak forever (its stale ``_manifests/snap-N.json``
+        is overwritten by the new commit, but the data dir would not
+        be)."""
+        snap = self._next_snapshot_id()
+        target = os.path.join(self.root, snap)
+        if os.path.exists(target):
+            import shutil
+
+            shutil.rmtree(target)
+        return snap
+
     @contextlib.contextmanager
     def _commit_lock(self):
         """Serialize the metadata commit section across concurrent
@@ -167,17 +186,8 @@ class TableIO:
 
                 shutil.rmtree(stage, ignore_errors=True)
                 return None
-            snap = self._next_snapshot_id()
+            snap = self._claim_snapshot_id()
             target = os.path.join(self.root, snap)
-            if os.path.exists(target):
-                # orphan from a writer that crashed between its rename and
-                # the pointer flip: snapshot ids advance monotonically with
-                # the pointer, so a snap dir NUMBERED PAST _current was
-                # never committed and no manifest references it — reap it,
-                # or every future commit would fail the same rename forever
-                import shutil
-
-                shutil.rmtree(target)
             os.rename(stage, target)
             parts = {
                 pk: {
@@ -271,7 +281,7 @@ class TableIO:
             drop = {str(k) for k in keys} & set(m["partitions"])
             if not drop:
                 return None
-            snap = self._next_snapshot_id()
+            snap = self._claim_snapshot_id()
             # parent metrics carry forward (other writers' bookkeeping
             # must survive a retention commit); per-partition metric
             # maps — any dict keyed by partition keys, e.g.
@@ -322,7 +332,7 @@ class TableIO:
                 "metrics": {},
             }
             cur = m.get("metrics") or {}
-            snap = self._next_snapshot_id()
+            snap = self._claim_snapshot_id()
             self._commit_manifest({
                 "snapshot_id": snap,
                 "parent": parent,
@@ -344,9 +354,26 @@ class TableIO:
         never touched: commit RENAMES the stage dir away, so anything
         still named ``.stage-*`` is by construction unreferenced. The
         age guard keeps a live writer's in-flight staging safe (pass 0
-        only when no writer can be running). Returns removed paths."""
+        only when no writer can be running); age is judged by the NEWEST
+        mtime anywhere under the stage tree, not the root dir's — Spark
+        creates partition subdirs early and keeps writing parts under
+        them, so a single parquet write legitimately running longer
+        than ``max_age_seconds`` would look stale by root mtime alone
+        and be reaped mid-write. Returns removed paths."""
         import shutil
         import time
+
+        def newest_mtime(path: str) -> float:
+            newest = os.path.getmtime(path)
+            for dirpath, dirnames, filenames in os.walk(path):
+                for n in dirnames + filenames:
+                    try:
+                        newest = max(
+                            newest, os.path.getmtime(os.path.join(dirpath, n))
+                        )
+                    except FileNotFoundError:
+                        pass  # writer/GC raced us mid-walk
+            return newest
 
         removed = []
         now = time.time()
@@ -355,7 +382,7 @@ class TableIO:
                 continue
             p = os.path.join(self.root, name)
             try:
-                if now - os.path.getmtime(p) >= max_age_seconds:
+                if now - newest_mtime(p) >= max_age_seconds:
                     shutil.rmtree(p)
                     removed.append(p)
             except FileNotFoundError:

@@ -371,6 +371,32 @@ def test_ivf_topk_exact_when_probing_all_lists(spark, embeddings, queries):
     np.testing.assert_allclose(ivf["score"].values, exact["score"].values, rtol=1e-12)
 
 
+def test_ivf_sampler_auto_mod_determinism_and_starved_guard(spark, embeddings):
+    """The hash-mod sampler must (a) pick a subset that is a pure
+    function of the ids (partitioning-independent), and (b) fall back to
+    the exact path instead of crashing np.stack / silently fitting
+    k < n_centroids when an over-aggressive mod starves the sample
+    (ADVICE r4)."""
+    from sfa_spark.operators.similarity import fit_ivf_centroids
+
+    # forced mod small enough to keep >= n_centroids survivors: the fit
+    # must be identical regardless of input partitioning
+    a = fit_ivf_centroids(
+        embeddings, n_centroids=4, sample_mod=2, sample_rows=64
+    )
+    b = fit_ivf_centroids(
+        embeddings.repartition(7), n_centroids=4, sample_mod=2, sample_rows=64
+    )
+    np.testing.assert_array_equal(a, b)
+
+    # starved sample (mod far beyond corpus size): exact-path fallback
+    cent = fit_ivf_centroids(
+        embeddings, n_centroids=8, sample_mod=10**9, sample_rows=1000
+    )
+    assert cent.shape[0] == 8
+    np.testing.assert_allclose(np.linalg.norm(cent, axis=1), 1.0, rtol=1e-9)
+
+
 def test_ivf_topk_recall_and_work_bound(spark, embeddings):
     """nprobe < n_centroids: perturbed-corpus queries (cos ≈ 0.99+) must
     recover their true neighbor at rank 1 — the IVF analogue of the LSH

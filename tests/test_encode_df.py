@@ -141,3 +141,33 @@ def test_pre_partitioned_encode_shuffle_free_and_byte_identical(spark, events, t
     assert all(
         bytes(x) == bytes(y) for x, y in zip(a["gorilla_blob"], b["gorilla_blob"])
     )
+
+
+def test_pre_partitioned_validation_catches_split_keys(spark, events):
+    """ADVICE r4: pre_partitioned=True with a key actually split across
+    input partitions silently corrupts blocks (duplicate blocks, broken
+    LOCF carry). validate_pre_partitioned=True must catch the bad claim
+    with a clear error instead."""
+    import pytest as _pytest
+
+    from sfa_spark.encode import encode_tier_blocks_gapfill
+    from sfa_spark.rollup import rollup_tier
+
+    tier = rollup_tier(events, ["user_id"], "ts", "value", "1m")
+    # round-robin repartition: every key is split across partitions
+    split = tier.repartition(8)
+    with _pytest.raises(ValueError, match="span multiple input partitions"):
+        encode_tier_blocks_gapfill(
+            split,
+            ["user_id"],
+            tier="1m",
+            pre_partitioned=True,
+            validate_pre_partitioned=True,
+        ).count()
+
+    # a genuinely co-located input passes validation and encodes
+    ok = tier.repartition(4, "user_id")
+    out = encode_tier_blocks_gapfill(
+        ok, ["user_id"], tier="1m", pre_partitioned=True, validate_pre_partitioned=True
+    )
+    assert out.count() > 0

@@ -85,6 +85,27 @@ def test_lsh_candidates_no_cartesian(spark, documents):
     assert "CartesianProduct" not in p
 
 
+def test_ivf_sample_plan_scale_path_has_no_sort(spark, embeddings):
+    """Above the auto-mod threshold the IVF fit's sampling plan is scan +
+    hash-mod filter — NO global Sort anywhere over the corpus (the
+    round-4 scale footgun: the old default sorted the whole corpus by
+    id). The expected-~sample_rows survivors are ordered driver-side."""
+    from sfa_spark.operators.similarity import ivf_sample_plan
+
+    s, mod = ivf_sample_plan(embeddings, sample_rows=100, corpus_rows=10_000_000)
+    assert mod == 100_000
+    p = plan_of(s)
+    assert "Sort" not in p, p
+    assert "xxhash64" in p, p
+
+    # below the threshold (estimate supplied, no count job): exact path
+    s2, mod2 = ivf_sample_plan(embeddings, sample_rows=100_000, corpus_rows=500)
+    assert mod2 == 0
+    # the exact path IS an ordered limit (Catalyst compiles orderBy+limit
+    # to TakeOrderedAndProject — top-k, cheaper than a full Sort)
+    assert "TakeOrderedAndProject" in plan_of(s2)
+
+
 def test_sfa_words_plan_has_no_window_and_batched_groups(spark, events):
     """The SFA downsample stage must stay window-free (order comes from
     the dense bucket_ts, not a row_number shuffle+sort) and group by the

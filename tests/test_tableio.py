@@ -321,6 +321,107 @@ def test_orphan_snapshot_dir_does_not_wedge_commits(spark, tio, events):
     assert not os.path.exists(os.path.join(orphan, "dt=1970-01-01", "junk.parquet"))
 
 
+def test_orphan_reaped_by_metadata_only_commits(spark, tio, events):
+    """ADVICE r4: if the commit that claims an orphaned snapshot id is a
+    metadata-only commit (drop_partitions / commit_metrics) rather than a
+    data write, the orphan's data dir must STILL be reaped — otherwise it
+    (plus its stale manifest) leaks forever, since gc_stale_staging only
+    sweeps .stage-* dirs."""
+    import json
+    import os
+
+    df = events.withColumn("dt", F.to_date("ts")).limit(120)
+    tio.write_snapshot(df, "dt", job="ok")
+    days = sorted(tio.done_partitions())
+
+    def plant_orphan(snap_name):
+        orphan = os.path.join(tio.root, snap_name)
+        os.makedirs(os.path.join(orphan, "dt=1970-01-01"))
+        with open(os.path.join(orphan, "dt=1970-01-01", "junk.parquet"), "w") as f:
+            f.write("garbage")
+        # crashed writer also wrote its manifest before dying pre-flip
+        with open(os.path.join(tio.root, "_manifests", f"{snap_name}.json"), "w") as f:
+            json.dump({"snapshot_id": snap_name, "partitions": {"bogus": {}}}, f)
+        return orphan
+
+    orphan = plant_orphan("snap-000002")
+    snap = tio.drop_partitions([days[0]], job="retention")
+    assert snap == "snap-000002"
+    assert not os.path.exists(orphan)  # data dir reaped
+    assert "bogus" not in tio.manifest()["partitions"]  # manifest overwritten
+    assert days[0] not in tio.done_partitions()
+
+    orphan = plant_orphan("snap-000003")
+    snap = tio.commit_metrics({"note": 1}, job="metadata")
+    assert snap == "snap-000003"
+    assert not os.path.exists(orphan)
+    assert tio.manifest()["metrics"]["note"] == 1
+    # remaining day partitions still read fine
+    assert tio.read(spark).count() > 0
+
+
+def test_gc_stale_staging_spares_long_running_write(spark, tio, events):
+    """ADVICE r4: staging age must be judged by the newest mtime in the
+    stage TREE — Spark creates partition subdirs early, so a legitimate
+    write running longer than max_age has an old root mtime but fresh
+    files inside. Such a stage must NOT be reaped."""
+    import os
+    import time
+
+    slow = os.path.join(tio.root, ".stage-slowwrite")
+    sub = os.path.join(slow, "dt=2024-01-01")
+    os.makedirs(sub)
+    past = time.time() - 48 * 3600
+    # root AND subdir look old...
+    os.utime(slow, (past, past))
+    os.utime(sub, (past, past))
+    # ...but a part file was just written (the write is still running)
+    with open(os.path.join(sub, "part-0.parquet"), "w") as f:
+        f.write("in flight")
+
+    assert tio.gc_stale_staging(max_age_seconds=24 * 3600) == []
+    assert os.path.exists(slow)
+
+    # once every file is old too, it's genuinely stale — reaped
+    os.utime(os.path.join(sub, "part-0.parquet"), (past, past))
+    os.utime(sub, (past, past))
+    os.utime(slow, (past, past))
+    assert tio.gc_stale_staging(max_age_seconds=24 * 3600) == [slow]
+    assert not os.path.exists(slow)
+
+
+def test_keep_seconds_recorded_only_for_winning_cutoff(spark, events, tmp_path):
+    """ADVICE r4: under expires with different windows, the persisted
+    keep_seconds must be the one that PRODUCED the (monotone-max) cutoff,
+    not last-writer-wins."""
+    from sfa_spark.incremental import expire_tier, refresh_tier
+    from sfa_spark.tableio import TableIO
+
+    root = str(tmp_path / "tier_1d")
+    refresh_tier(spark, events, root, ["user_id"], "ts", "value", tier="1d")
+    tio = TableIO(root)
+    days = sorted(tio.done_partitions())
+    base = days[-1] + "T00:00:00"
+
+    expire_tier(root, base, keep_seconds=2 * 86400)
+    m1 = tio.manifest()["metrics"]
+    assert m1["keep_seconds"] == 2 * 86400
+    win_cut = m1["retention_cutoff_day"]
+
+    # a LONGER window (earlier cutoff) loses the max: cutoff unchanged,
+    # and keep_seconds must NOT flip to the loser's value
+    expire_tier(root, base, keep_seconds=30 * 86400)
+    m2 = tio.manifest()["metrics"]
+    assert m2["retention_cutoff_day"] == win_cut
+    assert m2["keep_seconds"] == 2 * 86400
+
+    # a SHORTER window wins: both advance together
+    expire_tier(root, base, keep_seconds=1 * 86400)
+    m3 = tio.manifest()["metrics"]
+    assert m3["retention_cutoff_day"] > win_cut
+    assert m3["keep_seconds"] == 1 * 86400
+
+
 def test_retention_cutoff_cannot_regress_under_stale_writer(spark, events, tmp_path):
     """Self-review r4: the cutoff's monotone max is evaluated under the
     commit lock (metrics_fn), so a writer committing with a STALE view
