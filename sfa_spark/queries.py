@@ -362,6 +362,118 @@ def ivf_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pinned_ivf_centroids(dim: int = 64, k: int = 8, seed: int = 42) -> "object":
+    """Deterministic pinned coarse-quantizer centroids for the
+    APPROXIMATE-mode oracle: seeded gaussian unit vectors, components
+    rounded to 6 dp so the SQL literals and the numpy array hold the
+    IDENTICAL float64 values (repr round-trips, DuckDB's strtod is
+    correctly rounded). Rounded vectors are only ~unit — both engines
+    use them AS-IS (no renormalization), so that's irrelevant to
+    parity. The probe structure is what's under test, not centroid
+    quality."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((k, dim))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return np.round(c, 6)
+
+
+def _ivf_probe_oracle_sql() -> str:
+    """DuckDB re-derivation of the IVF APPROXIMATE path (nprobe=2 of 8):
+    corpus rows route to their argmax-similarity list, queries probe
+    their top-2 lists, rescoring runs only inside probed lists. The
+    routing similarity is ``dot(v, c)/|v|`` — the centroid literals are
+    used unrenormalized to match the Spark side exactly — rounded to
+    6 dp with ties to the LOWEST centroid id, mirroring
+    ``_ivf_assign_udf(round_to=6)``'s stable argsort."""
+    cent = _pinned_ivf_centroids()
+    rows = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(float(x)) for x in cent[i])
+        )
+        for i in range(cent.shape[0])
+    )
+    return f"""
+WITH cent(cid, cv) AS (
+  VALUES
+    {rows}
+), uq AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings WHERE vec_id < 5
+), corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), cassign AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT c.vec_id, ct.cid,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY round(CASE WHEN c.nrm > 0
+                            THEN list_dot_product(c.v, ct.cv) / c.nrm
+                            ELSE 0 END, 6) DESC, ct.cid ASC
+           ) AS rn
+    FROM corpus c CROSS JOIN cent ct
+  ) WHERE rn = 1
+), qprobe AS (
+  SELECT query_id, cid AS list_id FROM (
+    SELECT q.query_id, ct.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(CASE WHEN q.nrm > 0
+                            THEN list_dot_product(q.v, ct.cv) / q.nrm
+                            ELSE 0 END, 6) DESC, ct.cid ASC
+           ) AS rn
+    FROM uq q CROSS JOIN cent ct
+  ) WHERE rn <= 2
+), scored AS (
+  SELECT qp.query_id, ca.vec_id,
+         round(list_cosine_similarity(c.v, q.v), 6) AS score
+  FROM qprobe qp
+  JOIN cassign ca ON ca.list_id = qp.list_id
+  JOIN corpus c ON c.vec_id = ca.vec_id
+  JOIN uq q ON q.query_id = qp.query_id
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+  ) AS rank FROM scored
+) WHERE rank <= 3
+"""
+
+
+@register("ivf_probe_top3", _ivf_probe_oracle_sql())
+def ivf_probe_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN in its APPROXIMATE mode — nprobe=2 of 8 lists, the mode a
+    100 TB corpus actually runs (the round-4 verdict's oracle gap: only
+    the degenerate nprobe=all mode had a driver oracle). Centroids are
+    PINNED deterministic literals shared with the SQL side, and the
+    routing argmax ranks on 6-dp-rounded similarities with cid-asc ties
+    (``round_assign=6``), so the probe sets — and therefore the
+    approximate result — are bit-reproducible across engines. The
+    result may legitimately differ from brute force; the oracle
+    recomputes the same approximate semantics, not exact top-k."""
+    from sfa_spark.operators.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        emb,
+        q,
+        k=3,
+        nprobe=2,
+        centroids=_pinned_ivf_centroids(),
+        round_to=6,
+        round_assign=6,
+    )
+
+
 def _profile_sql(lang: str) -> str:
     from sfa_spark.operators.textstats import _LANG_PROFILES
 
