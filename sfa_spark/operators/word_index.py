@@ -323,6 +323,196 @@ def _verify_topk_batched(
     return best_d, best_k, best_o
 
 
+def _prep_query(query: np.ndarray, model: SFAModel):
+    """znorm + DFT + word for one query vector (driver-side, tiny)."""
+    qv = _mft.znorm(np.asarray(query, dtype=np.float64), model.norm_mean)
+    dft_q = _mft.transform(
+        qv, model.window_size, model.word_length, model.norm_mean, model.lower_bounding
+    )
+    word_q = quantize(dft_q[None, :], model.bins)[0]
+    return qv, dft_q, word_q
+
+
+def knn_query_index_batch(
+    spark: SparkSession,
+    root: str,
+    queries: np.ndarray,
+    k: int = 1,
+    query_ids: list[int] | None = None,
+) -> tuple[pd.DataFrame, dict]:
+    """Exact k-NN for a whole QUERY SET in one seed pass + one verify
+    pass — 2 Spark jobs total, constant in the number of queries (the
+    single-query path costs 2 jobs PER query; the reference sweeps many
+    queries per run, SFATrieTest.java:57-91, query_lightcurves.txt).
+
+    Identical results to looping :func:`knn_query_index` per query
+    (tested): both phases are strictly MORE informed than the
+    single-query equivalents —
+
+    * seed: the union of every query's nearest prefixes is read once;
+      each query seeds its bound from ALL rows read (extra prefixes can
+      only tighten a bound, never loosen it — still exact);
+    * verify: survivors = prefixes some query still needs
+      (mbr_lb < that query's bound), read once; inside the kernel each
+      row's pruning bound per query is ``max(word_lb, prefix_mbr_lb)``
+      — the rows are read WITH their prefix column (basePath read), so
+      a prefix pruned for one query but read for another is skipped for
+      the first by its MBR bound, keeping per-query verify work the
+      same as the single-query path.
+
+    Returns (pandas DF with columns query_id/key/offset/dist sorted by
+    (query_id, dist, key, offset), stats incl. jobs-shape evidence)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    tio = TableIO(root)
+    m = tio.manifest()
+    model = SFAModel.from_dict(m["metrics"]["model"])
+    mbrs = m["metrics"]["mbrs"]
+    parts = m["partitions"]
+
+    qm = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    qids = list(query_ids) if query_ids is not None else list(range(qm.shape[0]))
+    assert len(qids) == qm.shape[0]
+    prepped = [_prep_query(qm[i], model) for i in range(qm.shape[0])]
+
+    # per-query per-prefix MBR lower bounds — driver-sized (α^prefix_len
+    # entries × m queries), like the manifest itself
+    lbs = {
+        p: np.asarray(
+            [
+                _mbr_lb(dq, np.asarray(v["lo"]), np.asarray(v["hi"]), model.norm_mean)
+                for (_, dq, _w) in prepped
+            ]
+        )
+        for p, v in mbrs.items()
+    }
+
+    def read_prefixes(pfx: list[str]) -> DataFrame:
+        # basePath reads recover the hive `prefix` column for per-row
+        # MBR-bound pruning inside the kernel; append snapshots can span
+        # several snapshot roots → one read per root, unioned
+        from functools import reduce
+
+        by_root: dict[str, list[str]] = {}
+        for p in pfx:
+            for path in parts[p].get("paths") or [parts[p]["path"]]:
+                r = os.path.join(tio.root, path.split("/", 1)[0])
+                by_root.setdefault(r, []).append(os.path.join(tio.root, path))
+        dfs = [
+            spark.read.option("basePath", r).parquet(*ps)
+            for r, ps in sorted(by_root.items())
+        ]
+        return reduce(lambda a, b: a.unionByName(b), dfs)
+
+    # seed set: union over queries of their nearest prefixes until ≥k
+    # windows each (same rule as the single-query path)
+    seed: set[str] = set()
+    for qi in range(qm.shape[0]):
+        order_q = sorted(lbs, key=lambda p: (lbs[p][qi], p))
+        seen = 0
+        for p in order_q:
+            seed.add(p)
+            seen += mbrs[p]["n"]
+            if seen >= k:
+                break
+
+    model_dict = model.to_dict()
+    q_payload = [
+        (int(qid), qv.tolist(), dq.tolist(), wq.tolist())
+        for qid, (qv, dq, wq) in zip(qids, prepped)
+    ]
+
+    def run_phase(df: DataFrame, bounds: dict[int, float]) -> pd.DataFrame:
+        prefix_lb = {p: v.tolist() for p, v in lbs.items()}
+
+        def per_part(batches):
+            mm = SFAModel.from_dict(model_dict)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                words = np.stack(pdf["word"].to_numpy()).astype(np.int64)
+                pfx = pdf["prefix"].astype(str)
+                outs = []
+                for qi, (qid, qv, dq, wq) in enumerate(q_payload):
+                    bound = bounds.get(qid, np.inf)
+                    mbr_row = pfx.map(
+                        lambda p, _qi=qi: prefix_lb.get(p, [0.0] * len(q_payload))[_qi]
+                    ).to_numpy(dtype=np.float64)
+                    if (mbr_row >= bound).all():
+                        continue  # whole partition pruned for this query
+                    lb = sfa_lower_bound(
+                        words,
+                        np.asarray(wq, dtype=np.int64),
+                        np.asarray(dq),
+                        mm.bins,
+                        mm.norm_mean,
+                    )
+                    lb = np.maximum(lb, mbr_row)
+                    d, ks, os_ = _verify_topk_batched(
+                        pdf, lb, np.asarray(qv), k, bound
+                    )
+                    outs.append(
+                        pd.DataFrame(
+                            {"query_id": qid, "key": ks, "offset": os_, "dist": d}
+                        )
+                    )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        out = df.mapInPandas(
+            per_part, schema="query_id long, key long, offset int, dist double"
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.asc("dist"), F.asc("key"), F.asc("offset")
+        )
+        return (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+            .toPandas()
+        )
+
+    seed_res = run_phase(read_prefixes(sorted(seed)), {})
+    bounds = {
+        int(qid): (
+            float(g["dist"].iloc[-1]) if len(g) >= k else np.inf
+        )
+        for qid, g in seed_res.sort_values(
+            ["query_id", "dist", "key", "offset"]
+        ).groupby("query_id")
+    }
+    for qid in qids:
+        bounds.setdefault(int(qid), np.inf)
+
+    survivors = sorted(
+        p
+        for p in lbs
+        if p not in seed
+        and any(lbs[p][qi] < bounds[int(qids[qi])] for qi in range(len(qids)))
+    )
+    stats = {
+        "queries": len(qids),
+        "prefixes_total": len(lbs),
+        "prefixes_seed": len(seed),
+        "prefixes_read": len(seed) + len(survivors),
+        "spark_jobs": 1 if not survivors else 2,
+    }
+    merged = seed_res
+    if survivors:
+        rest = run_phase(read_prefixes(survivors), bounds)
+        merged = pd.concat([seed_res, rest], ignore_index=True)
+    merged = (
+        merged.sort_values(["query_id", "dist", "key", "offset"])
+        .groupby("query_id", group_keys=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return merged, stats
+
+
 def knn_query_index(
     spark: SparkSession,
     root: str,

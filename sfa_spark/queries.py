@@ -940,18 +940,23 @@ WITH ser AS (
   FROM events WHERE user_id < 40
 ), len AS (
   SELECT key, max(idx) AS maxidx FROM ser GROUP BY 1
-), qkey AS (
-  SELECT min(key) AS qk FROM ser WHERE key < 8
+), qkeys AS (
+  SELECT key AS qid FROM (
+    SELECT DISTINCT key FROM ser WHERE key < 8 ORDER BY key LIMIT 3
+  )
 ), qraw AS (
-  SELECT s.idx - 5 AS pos, s.v FROM ser s, qkey WHERE s.key = qkey.qk AND s.idx BETWEEN 5 AND 20
+  SELECT q.qid, s.idx - 5 AS pos, s.v
+  FROM ser s JOIN qkeys q ON s.key = q.qid
+  WHERE s.idx BETWEEN 5 AND 20
 ), qstat AS (
-  SELECT sum(v) / 16 AS mu,
+  SELECT qid, sum(v) / 16 AS mu,
          CASE WHEN sum(v * v) / 16 - (sum(v) / 16) * (sum(v) / 16) > 0
               THEN 1.0 / sqrt(sum(v * v) / 16 - (sum(v) / 16) * (sum(v) / 16))
               ELSE 1.0 END AS inv
-  FROM qraw
+  FROM qraw GROUP BY qid
 ), qn AS (
-  SELECT pos, (v - qstat.mu) * qstat.inv AS q FROM qraw, qstat
+  SELECT r.qid, r.pos, (r.v - t.mu) * t.inv AS q
+  FROM qraw r JOIN qstat t ON r.qid = t.qid
 ), win AS (
   SELECT a.key, a.idx AS "offset", b.idx - a.idx AS pos, b.v
   FROM ser a
@@ -965,34 +970,44 @@ WITH ser AS (
               ELSE 1.0 END AS inv
   FROM win GROUP BY 1, 2
 ), d AS (
-  SELECT w.key, w."offset",
+  SELECT q.qid, w.key, w."offset",
          sum(((w.v - s.mu) * s.inv - q.q) * ((w.v - s.mu) * s.inv - q.q)) AS d
   FROM win w
   JOIN wstat s ON w.key = s.key AND w."offset" = s."offset"
   JOIN qn q ON q.pos = w.pos
-  GROUP BY 1, 2
+  GROUP BY 1, 2, 3
 )
-SELECT key, "offset", round(d, 6) AS dist
-FROM d ORDER BY d, key, "offset" LIMIT 5
+SELECT query_id, key, "offset", dist FROM (
+  SELECT qid AS query_id, key, "offset", round(d, 6) AS dist,
+         row_number() OVER (PARTITION BY qid ORDER BY d, key, "offset") AS rn
+  FROM d
+) WHERE rn <= 5
 """,
 )
 def knn_word_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-prefix-partitioned persistent k-NN index (SFABulkLoad
-    analogue): build over per-user event series, query, return top-k.
+    analogue): build over per-user event series, then answer a 3-query
+    SET through the BATCHED search API (one seed pass + one verify pass
+    for the whole set — knn_query_index_batch, VERDICT r4 #1; the
+    reference sweeps many queries per run, SFATrieTest.java:57-91).
 
     The oracle is DuckDB brute force over the same search space the
     index covers exactly (no false dismissals, SFATrieTest.java:172-200):
     length-16 sliding windows per series, z-normed with the population-σ
-    / σ=0→1 guard (TimeSeries.java:82), squared ED to the z-normed fixed
-    query (series min(user_id<8), values [5:21]), ORDER BY dist,key,offset
-    LIMIT 5. The fit is distributed (fit_windowing_df), so the query is
-    end-to-end Spark except the k-row result + 16-value query vector."""
+    / σ=0→1 guard (TimeSeries.java:82), squared ED to each z-normed
+    query (the 3 lowest series with user_id<8, values [5:21]), top-5
+    per query by (dist, key, offset). The fit is distributed
+    (fit_windowing_df), so the query is end-to-end Spark except the
+    3k-row result + three 16-value query vectors."""
     import tempfile
 
     import numpy as np
     from pyspark.sql.window import Window as W
 
-    from sfa_spark.operators.word_index import build_word_index, knn_query_index
+    from sfa_spark.operators.word_index import (
+        build_word_index,
+        knn_query_index_batch,
+    )
     from sfa_spark.transform.sfa_df import fit_windowing_df
 
     ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
@@ -1006,26 +1021,29 @@ def knn_word_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = fit_windowing_df(
         fit_ser, "series_id", "t", "value", 16, 4, 4, norm_mean=True
     )
-    # query vector: 16 points of the lowest fit series (a bounded collect)
-    qk = fit_ser.agg(F.min("series_id")).first()[0]
-    query = np.asarray(
-        [
-            r["value"]
-            for r in fit_ser.filter(
-                (F.col("series_id") == qk) & F.col("t").between(6, 21)
-            )
-            .orderBy("t")
-            .collect()
-        ],
-        dtype=np.float64,
+    # query vectors: 16 points each of the 3 lowest fit series (bounded
+    # collect — 48 values)
+    qrows = (
+        fit_ser.filter(F.col("t").between(6, 21))
+        .orderBy("series_id", "t")
+        .collect()
     )
-    # build + query under a scoped temp dir; materialize the (tiny, k-row)
-    # result before cleanup so repeated driver/bench invocations leak nothing
+    by_key: dict[int, list[float]] = {}
+    for r in qrows:
+        by_key.setdefault(int(r["series_id"]), []).append(float(r["value"]))
+    qids = sorted(by_key)[:3]
+    queries = np.asarray([by_key[q] for q in qids], dtype=np.float64)
+    # build + query under a scoped temp dir; materialize the (tiny) result
+    # before cleanup so repeated driver/bench invocations leak nothing
     with tempfile.TemporaryDirectory(prefix="sfa_widx_") as tmp:
         build_word_index(ser, model, tmp + "/index", prefix_len=2)
-        res, stats = knn_query_index(spark, tmp + "/index", query, k=5)
+        res, stats = knn_query_index_batch(
+            spark, tmp + "/index", queries, k=5, query_ids=qids
+        )
     out = spark.createDataFrame(res)
-    return out.select("key", "offset", F.round("dist", 6).alias("dist"))
+    return out.select(
+        "query_id", "key", "offset", F.round("dist", 6).alias("dist")
+    )
 
 def _sfa_words_oracle_sql() -> str:
     """DuckDB re-derivation of the ENTIRE SFA pipeline — fit + transform.

@@ -68,6 +68,54 @@ def test_index_prunes_partitions(spark, index_and_corpus):
     assert stats["prefixes_read"] < stats["prefixes_total"], stats
 
 
+def test_batch_query_matches_per_query_loop_in_constant_jobs(spark, index_and_corpus):
+    """VERDICT r4 #1: the batched multi-query API must (a) return exactly
+    what looping knn_query_index per query returns, and (b) answer the
+    WHOLE query set in a constant number of Spark jobs (one seed pass +
+    one verify pass), not 2 jobs per query."""
+    from sfa_spark.operators.word_index import knn_query_index_batch
+
+    root, series, model = index_and_corpus
+    rng = np.random.default_rng(21)
+    queries, qids = [], []
+    for qi in range(5):
+        s = series[qi % len(series)]
+        start = int(rng.integers(0, len(s) - W))
+        queries.append(s[start : start + W] + 0.01 * rng.standard_normal(W))
+        qids.append(100 + qi)
+
+    sc = spark.sparkContext
+
+    def count_jobs(qs, ids):
+        group = f"widx-batch-jobs-{len(ids)}"
+        sc.setJobGroup(group, "batched knn", False)
+        res = knn_query_index_batch(spark, root, np.stack(qs), k=K, query_ids=ids)
+        sc.setJobGroup("widx-other", "", False)
+        return res, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    (got, stats), jobs5 = count_jobs(queries, qids)
+    # doubling the query set must NOT grow the job count (2 passes total,
+    # whatever AQE splits each pass into) — the per-query loop costs
+    # ≥ 2 jobs PER query
+    (_, stats10), jobs10 = count_jobs(queries + queries, qids + [q + 50 for q in qids])
+    assert stats["queries"] == 5 and stats10["queries"] == 10
+    assert jobs10 <= jobs5 + 1, (jobs5, jobs10)
+    assert jobs5 <= 8, jobs5
+    assert stats["prefixes_read"] <= stats["prefixes_total"]
+
+    for qid, q in zip(qids, queries):
+        want, _ = knn_query_index(spark, root, q, k=K)
+        g = got[got["query_id"] == qid].reset_index(drop=True)
+        assert len(g) == len(want)
+        np.testing.assert_array_equal(g["key"].to_numpy(), want["key"].to_numpy())
+        np.testing.assert_array_equal(
+            g["offset"].to_numpy(), want["offset"].to_numpy()
+        )
+        np.testing.assert_allclose(
+            g["dist"].to_numpy(), want["dist"].to_numpy(), rtol=0, atol=0
+        )
+
+
 def test_index_is_persistent_snapshot(spark, index_and_corpus):
     """The index is a TableIO snapshot: manifest carries the model + MBRs,
     so a fresh process can query without refitting."""
