@@ -86,6 +86,59 @@ def test_decode_every_filter_type(ftype):
     np.testing.assert_array_equal(back, img)
 
 
+@pytest.mark.parametrize("bpp", [1, 2, 3, 4])
+def test_fast_defilter_rows_match_numpy_reference(bpp):
+    """The plain-Python-int Paeth/Average row kernels must reconstruct
+    exactly what the per-column numpy reference does, for every pixel
+    width (chained rows: each output feeds the next row's prev)."""
+    from sfa_spark.operators.png import _avg_row, _paeth_row, _paeth_row_ref
+
+    rng = np.random.default_rng(bpp)
+    prev_fast = prev_ref = np.zeros(37 * bpp, dtype=np.uint8)
+    for _ in range(8):
+        row = rng.integers(0, 256, 37 * bpp).astype(np.uint8)
+        fast = _paeth_row(row, prev_fast, bpp)
+        ref = _paeth_row_ref(row, prev_ref, bpp)
+        np.testing.assert_array_equal(fast, ref)
+        prev_fast, prev_ref = fast, ref
+    # Average vs the spec pseudocode reference, chained as well
+    prev = np.zeros(37 * bpp, dtype=np.uint8)
+    for _ in range(4):
+        row = rng.integers(0, 256, 37 * bpp).astype(np.uint8)
+        got = _avg_row(row, prev, bpp)
+        want = np.zeros_like(row)
+        for x in range(row.size):
+            left = int(want[x - bpp]) if x >= bpp else 0
+            want[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        np.testing.assert_array_equal(got, want)
+        prev = got
+
+
+def test_paeth_defilter_micro_bench_gate():
+    """VERDICT r4 #3: the Paeth hot path (web PNGs are Paeth-heavy) must
+    beat the per-pixel-column numpy reference ≥5× on a 256×256 RGB
+    image's worth of scanlines (measured ~14×; the gate is slack for
+    host noise — same pattern as the batched-verify kernel gate)."""
+    import time
+
+    from sfa_spark.operators.png import _paeth_row, _paeth_row_ref
+
+    rng = np.random.default_rng(0)
+    h, w, c = 256, 256, 3
+    rows = [rng.integers(0, 256, w * c).astype(np.uint8) for _ in range(h)]
+    prev = rng.integers(0, 256, w * c).astype(np.uint8)
+
+    t0 = time.time()
+    for r in rows:
+        _paeth_row_ref(r, prev, c)
+    t_ref = time.time() - t0
+    t0 = time.time()
+    for r in rows:
+        _paeth_row(r, prev, c)
+    t_fast = time.time() - t0
+    assert t_ref / max(t_fast, 1e-9) >= 5.0, (t_ref, t_fast)
+
+
 def test_decode_gradient_compresses_and_roundtrips():
     """A smooth gradient (the filterable case) still round-trips."""
     y, x = np.mgrid[0:32, 0:48]
