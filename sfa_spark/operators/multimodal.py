@@ -34,6 +34,34 @@ def not_implemented_decoder(payload: bytes, meta) -> np.ndarray:
     )
 
 
+def image_or_fake_decoder(payload: bytes, meta) -> np.ndarray:
+    """Production-shaped decoder for mixed web corpora: PNG decodes via
+    the stdlib PNG path, baseline JPEG via the stdlib SOF0 path, and
+    anything else (progressive JPEG, WebP, GIF, …) falls back to the
+    deterministic fake so pipelines keep moving with rows flagged by
+    shape. This grows round 4's ``png_or_fake_decoder`` to cover the
+    two dominant web image formats with real decoders."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from sfa_spark.operators.jpeg import decode_jpeg
+    from sfa_spark.operators.png import decode_png
+
+    for dec in (decode_png, decode_jpeg):
+        try:
+            return dec(payload, meta)
+        except (
+            ValueError,
+            NotImplementedError,
+            KeyError,
+            IndexError,
+            _struct.error,
+            _zlib.error,
+        ):
+            continue
+    return fake_image_decoder(payload, meta)
+
+
 def fake_image_decoder(payload: bytes, meta) -> np.ndarray:
     """Deterministic stand-in: payload bytes tiled into (h, w, c) uint8."""
     h, w, c = int(meta["height"]), int(meta["width"]), int(meta["channels"])

@@ -1,0 +1,176 @@
+"""Baseline JPEG (SOF0) codec: analytic DC-only exactness, round-trip
+tolerance at each subsampling, rejection of unsupported variants, and the
+image_or_fake_decoder seam dispatch (PNG / JPEG / fake)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sfa_spark.operators.jpeg import (
+    _DCT,
+    _ZZ,
+    _scale_q,
+    _Q_LUM,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def test_zigzag_order_matches_spec_prefix():
+    """First entries of the generated zigzag scan must be the spec's
+    published sequence (T.81 Figure A.6)."""
+    want = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5]
+    assert _ZZ[: len(want)].tolist() == want
+    # a permutation of all 64 raster positions
+    assert sorted(_ZZ.tolist()) == list(range(64))
+
+
+def test_dct_matrix_is_orthonormal():
+    np.testing.assert_allclose(_DCT @ _DCT.T, np.eye(8), atol=1e-12)
+
+
+def test_grey_dc_only_blocks_decode_exactly():
+    """An image of flat 8×8 blocks quantizes to DC-only coefficients, so
+    the decoded pixels have a closed form: round(q00·round(8·(v−128)/q00)
+    /8 + 128). The decoder must reproduce it exactly — this pins the
+    whole pipeline (marker parse, Huffman, dequant, IDCT, level shift)
+    without any reference decoder in the container."""
+    rng = np.random.default_rng(3)
+    # even values + q00=16 (quality 50) keep every rounding step away
+    # from .5 ties, so float-vs-analytic round directions can't diverge
+    vals = 2 * rng.integers(0, 128, size=(4, 5))  # one value per 8×8 block
+    img = np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    quality = 50
+    data = encode_jpeg(img, quality=quality)
+    got = decode_jpeg(data)
+    q00 = int(_scale_q(_Q_LUM, quality)[0])
+    assert q00 == 16
+    dc = np.round(8.0 * (vals.astype(np.float64) - 128.0) / q00)
+    expect = np.clip(np.round(q00 * dc / 8.0 + 128.0), 0, 255).astype(np.uint8)
+    expect_img = np.kron(expect, np.ones((8, 8), dtype=np.uint8))[:, :, None]
+    np.testing.assert_array_equal(got, expect_img)
+
+
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:0", "4:2:2"])
+def test_rgb_roundtrip_smooth_image(subsampling):
+    """Smooth gradients survive encode→decode within a small tolerance at
+    quality 95, including non-multiple-of-16 dimensions (edge padding +
+    crop) and chroma subsampling."""
+    y, x = np.mgrid[0:37, 0:29]
+    img = np.stack(
+        [
+            (y * 4 + 20).clip(0, 255),
+            (x * 5 + 10).clip(0, 255),
+            ((x + y) * 3 + 40).clip(0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(img, quality=95, subsampling=subsampling))
+    assert got.shape == img.shape
+    err = np.abs(got.astype(int) - img.astype(int))
+    tol = 8 if subsampling == "4:4:4" else 24  # chroma is floor-upsampled
+    assert err.max() <= tol, (subsampling, err.max())
+    assert err.mean() <= tol / 4
+
+
+def test_grey_roundtrip_and_shapes():
+    y, x = np.mgrid[0:19, 0:23]
+    img = ((y * 7 + x * 3) % 256).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(img, quality=92))
+    assert got.shape == (19, 23, 1)
+    # high-frequency checkerboard-ish content: loose bound, right shape
+    assert np.abs(got[:, :, 0].astype(int) - img.astype(int)).mean() < 32
+
+
+def test_rejects_non_jpeg_and_progressive():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"definitely not a jpeg")
+    # minimal SOI + SOF2 (progressive) header must raise NotImplementedError
+    import struct
+
+    sof2 = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 8) + bytes(6)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(sof2)
+
+
+def test_image_or_fake_decoder_dispatch():
+    """The grown seam: PNG bytes take the PNG path, baseline JPEG bytes
+    the JPEG path, anything else the deterministic fake."""
+    from sfa_spark.operators.multimodal import fake_image_decoder, image_or_fake_decoder
+    from sfa_spark.operators.png import encode_png
+
+    rng = np.random.default_rng(11)
+    meta = {"width": 6, "height": 4, "channels": 3}
+
+    png_img = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        image_or_fake_decoder(encode_png(png_img), meta), png_img
+    )
+
+    flat = np.full((8, 8), 77, dtype=np.uint8)
+    got = image_or_fake_decoder(encode_jpeg(flat, quality=90), meta)
+    assert got.shape == (8, 8, 1)
+    assert np.abs(got.astype(int) - 77).max() <= 3  # decoded, not faked
+
+    junk = b"GIF89a" + bytes(rng.integers(0, 256, 64, dtype=np.uint8))
+    np.testing.assert_array_equal(
+        image_or_fake_decoder(junk, meta), fake_image_decoder(junk, meta)
+    )
+
+
+def test_extract_features_with_jpeg_payloads(spark):
+    """The Spark-side multimodal plumbing runs real JPEG decode inside
+    mapInPandas: features equal the pooled decode of each payload."""
+    import pandas as pd
+
+    from sfa_spark.operators.multimodal import extract_features, image_or_fake_decoder
+
+    rng = np.random.default_rng(7)
+    rows = []
+    imgs = {}
+    for i in range(6):
+        h, w = 8 * int(rng.integers(2, 5)), 8 * int(rng.integers(2, 5))
+        base = np.add.outer(np.linspace(0, 200, h), np.linspace(0, 40, w)) % 256
+        img = np.stack(
+            [base, (base + 30) % 256, (base + 90) % 256], axis=-1
+        ).astype(np.uint8)
+        payload = encode_jpeg(img, quality=95)
+        imgs[i] = payload
+        rows.append(
+            {
+                "media_id": i,
+                "kind": "image",
+                "payload": payload,
+                "meta": {
+                    "width": w,
+                    "height": h,
+                    "channels": 3,
+                    "sample_rate": None,
+                    "duration_ms": None,
+                },
+            }
+        )
+    media = spark.createDataFrame(
+        pd.DataFrame(rows),
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,channels:int,sample_rate:int,duration_ms:int>",
+    )
+    feats = (
+        extract_features(media, decoder=image_or_fake_decoder, pool=8)
+        .toPandas()
+        .set_index("media_id")
+    )
+    for i, payload in imgs.items():
+        img = decode_jpeg(payload).astype(np.float64)
+        h = (img.shape[0] // 8) * 8
+        w = (img.shape[1] // 8) * 8
+        pooled = (
+            img[:h, :w]
+            .reshape(h // 8, 8, w // 8, 8, -1)
+            .mean(axis=(1, 3))
+            .astype(np.float32)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(feats.loc[i, "features"], dtype=np.float32), pooled.ravel()
+        )
