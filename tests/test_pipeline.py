@@ -133,6 +133,31 @@ def test_hot_keys_and_salted_agg(spark, pages):
     np.testing.assert_allclose(agg["sm"].values, direct["sm"].values, rtol=1e-9)
 
 
+def test_salted_rollup_full_parity(spark, pages):
+    """jobs/skew_bench.py's salted two-stage rollup must reproduce
+    rollup_tier EXACTLY — including the min_by/max_by first/last merged
+    through per-salt partials via the partial's min/max timestamp. This
+    is the CI gate behind the skew-evidence job's parity assertion."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1] / "jobs"))
+    from skew_bench import salted_rollup
+
+    from sfa_spark.rollup import rollup_tier
+
+    signals = pages.select(
+        "url", "warc_ts", F.length("text").cast("double").alias("value")
+    )
+    norm = lambda df: df.select(  # noqa: E731
+        "url", "bucket_ts", "n", F.round("sum", 6).alias("sum"),
+        "min", "max", "first", "last",
+    )
+    plain = norm(rollup_tier(signals, ["url"], "warc_ts", "value", "1m"))
+    salted = norm(salted_rollup(signals, factor=8))
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
 def test_extract_expr_equals_udf_edge_cases(spark):
     """The JVM extraction expression ≡ the pandas-UDF reference on edge
     cases: no tags, close before open, empty article, nested/multiple
