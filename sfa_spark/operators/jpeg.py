@@ -358,10 +358,19 @@ class _BitWriter:
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
 
-    def flush(self) -> bytes:
+    def pad_to_byte(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # 1-padding per spec
+
+    def raw_marker(self, b: bytes) -> None:
+        """Append marker bytes verbatim (markers are never stuffed).
+        Caller must be byte-aligned (pad_to_byte first)."""
+        assert self.nbits == 0
+        self.out += b
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
         return bytes(self.out)
 
 
@@ -399,11 +408,17 @@ def _encode_plane_blocks(plane: np.ndarray, q_zz: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg(
-    img: np.ndarray, quality: int = 85, subsampling: str = "4:4:4"
+    img: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode (h, w)/(h, w, 1) grey or (h, w, 3) RGB uint8 → baseline
     JPEG bytes. Valid and self-describing (tables in DQT/DHT); used for
-    fixtures and round-trip tests, not optimized for ratio."""
+    fixtures and round-trip tests, not optimized for ratio.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (DC predictors reset) — real web JPEGs use restarts,
+    and this exercises the decoder's segment-split path."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -457,6 +472,12 @@ def encode_jpeg(
     bw = _BitWriter()
     preds = [0] * nc
     for mcu in range(mcux * mcuy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw.pad_to_byte()
+            bw.raw_marker(
+                bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
+            )
+            preds = [0] * nc
         my, mx = divmod(mcu, mcux)
         for ci, (sh, sv) in enumerate(samp):
             bx_per_row = mcux * sh
@@ -513,6 +534,8 @@ def encode_jpeg(
     for ci in range(nc):
         sos += bytes([ci + 1, 0x00])
     sos += bytes([0, 63, 0])
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     out += seg(0xDA, sos)
     out += entropy
     out += b"\xff\xd9"

@@ -99,6 +99,69 @@ def rollup_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finish_tier(reaggregate(t1h, ["user_id"], "1d"))
 
 
+@register(
+    "time_travel_1d",
+    """
+WITH mx AS (SELECT max(CAST(ts AS DATE)) AS d FROM events)
+SELECT user_id,
+       date_trunc('day', ts) AS bucket_ts,
+       count(value)          AS n,
+       round(sum(value), 6)  AS sum_value,
+       min(value)            AS min_value,
+       max(value)            AS max_value,
+       arg_min(value, ts)    AS first_value,
+       arg_max(value, ts)    AS last_value
+FROM events, mx
+WHERE CAST(ts AS DATE) < mx.d
+GROUP BY 1, 2
+""",
+)
+def time_travel_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel through the driver contract (VERDICT r4 #8):
+    build a 1d tier table with every day but the last, refresh again
+    with the full source (a NEW snapshot adds the last day), then read
+    the PRE-refresh snapshot by id — the historical read must be
+    bit-identical to re-deriving the old day set from raw events, which
+    is exactly what the DuckDB oracle does. Proves dropped/advanced
+    snapshots keep their ancestors readable (TableIO.read(snapshot=),
+    the Iceberg time-travel semantics the north rule's lineage chain
+    exists for)."""
+    import tempfile
+
+    from sfa_spark.incremental import refresh_tier
+    from sfa_spark.tableio import TableIO
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    maxday = ev.agg(F.max(F.to_date("ts"))).first()[0]  # bounded collect
+    with tempfile.TemporaryDirectory(prefix="sfa_tt_") as tmp:
+        root = tmp + "/t1d"
+        r1 = refresh_tier(
+            spark,
+            ev.filter(F.to_date("ts") < F.lit(maxday)),
+            root,
+            ["user_id"],
+            "ts",
+            "value",
+            tier="1d",
+        )
+        r2 = refresh_tier(spark, ev, root, ["user_id"], "ts", "value", tier="1d")
+        assert r2["snapshot"] != r1["snapshot"], "second refresh must commit"
+        hist = TableIO(root).read(spark, snapshot=r1["snapshot"]).select(
+            "user_id",
+            "bucket_ts",
+            "n",
+            F.round("sum", 6).alias("sum_value"),
+            F.col("min").alias("min_value"),
+            F.col("max").alias("max_value"),
+            F.col("first").alias("first_value"),
+            F.col("last").alias("last_value"),
+        )
+        # materialize the (few-thousand-row) historical tier before the
+        # scoped table root is cleaned up
+        out = hist.toPandas()
+    return spark.createDataFrame(out, schema=hist.schema)
+
+
 _NORM_TEXT_SQL = r"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
 
 

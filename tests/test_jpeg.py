@@ -83,6 +83,27 @@ def test_grey_roundtrip_and_shapes():
     assert np.abs(got[:, :, 0].astype(int) - img.astype(int)).mean() < 32
 
 
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:0"])
+def test_restart_intervals_decode_identically(subsampling):
+    """DRI + RSTn markers (real web JPEGs use restarts): the decoder's
+    segment-split + DC-predictor-reset path must yield EXACTLY the same
+    pixels as the restart-free encoding of the same image."""
+    rng = np.random.default_rng(5)
+    img = np.stack(
+        [
+            np.add.outer(np.linspace(0, 180, 24), np.linspace(0, 60, 40)),
+            rng.integers(0, 256, size=(24, 40)),
+            np.add.outer(np.linspace(200, 0, 24), np.linspace(0, 30, 40)),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, quality=80, subsampling=subsampling))
+    with_rst = decode_jpeg(
+        encode_jpeg(img, quality=80, subsampling=subsampling, restart_interval=2)
+    )
+    np.testing.assert_array_equal(with_rst, plain)
+
+
 def test_rejects_non_jpeg_and_progressive():
     with pytest.raises(ValueError):
         decode_jpeg(b"definitely not a jpeg")
