@@ -284,6 +284,65 @@ def scaling_run(sf_dir: str, replicate: int = 8) -> dict:
     return out
 
 
+def _skew_section() -> list[str]:
+    """Render the hot-domain skew evidence from BENCH/skew.json
+    (produced by jobs/skew_bench.py) so --write-md regeneration keeps
+    it; empty when the skew bench hasn't been run."""
+    if not os.path.exists("BENCH/skew.json"):
+        return []
+    with open("BENCH/skew.json") as f:
+        k = json.load(f)
+    return [
+        "",
+        "## Hot-domain skew, end-to-end (SURVEY H7 / verdict r4 item 5)",
+        "",
+        "`python jobs/skew_bench.py` (results committed in `BENCH/skew.json`;",
+        f"local[{k['cores']}], best-of-N, the agg pair INTERLEAVED — sequential",
+        "timing fakes a ~20% win for whichever arm runs second, measured by",
+        "order swap) answers \"where does salting belong?\" on two",
+        f"distributions: the generator's Zipf page table ({k['hot_urls']} heavy urls =",
+        f"{k['heavy_fraction']*100:.1f}% of {k['rows']} rows) and a sharp-skew tier (ONE key =",
+        f"{k['sharp_hot_share']*100:.1f}% of {k['sharp_rows']} buckets — the single-giant-task shape).",
+        "",
+        "| stage | variant | wall s |",
+        "|---|---|---|",
+        f"| 1m tier agg (Zipf pages) | plain `rollup_tier` | {k['rollup_plain_s']} |",
+        f"| 1m tier agg (Zipf pages) | explicit 2-stage salt (exact parity asserted) | {k['rollup_salted_s']} |",
+        f"| encode kernel (sharp skew) | fused streaming (partition by key) | {k['encode_fused_s']} |",
+        f"| encode kernel (sharp skew) | per-key applyInPandas | {k['encode_per_key_s']} |",
+        f"| encode kernel (sharp skew) | epoch-chunked applyInPandas (shipped shape) | **{k['encode_chunked_s']}** |",
+        "",
+        "Findings, with the mechanism each number demonstrates:",
+        "",
+        "- **Salting does NOT pay for the tier aggregation, by construction.**",
+        "  The grouping key is (url, minute-bucket): on the Zipf table the",
+        f"  largest group is {k['dist_pages_per_key_bucket']['max_rows']} rows"
+        f" (max_share = {k['dist_pages_per_key_bucket']['max_share']}) — there is",
+        "  no straggler for a salt to relieve, because the time bucket already",
+        "  shatters hot urls, and Catalyst's partial (map-side) aggregation",
+        "  combines a hot url's raw rows before the shuffle anyway. The salted",
+        "  arm pays an extra merge stage for nothing (parity asserted exact, so",
+        "  the comparison is fair). Conclusion: `skew.salted_agg` stays a",
+        "  utility for per-KEY aggregations without a time component; the",
+        "  flagship path does not wire it in — measured, not assumed.",
+        "- **Epoch chunking IS the skew mitigation for the per-group kernel",
+        "  stage.** Under sharp single-key skew, both shapes that keep a key",
+        "  whole are straggler-bound (the hot key is"
+        f" {k['dist_sharp_per_key']['max_share']*100:.0f}% of the work on"
+        f" {k['cores']} cores, ideal share {100/k['cores']:.1f}%). The chunked",
+        "  (key, epoch-chunk) grouping caps the biggest task at",
+        f"  {k['dist_sharp_per_chunk']['max_share']*100:.1f}% of rows and wins ~2×.",
+        "  This is why `encode_tier_blocks` groups by (key, block_id).",
+        "- **The fused streaming path remains the default for the mild-skew",
+        "  common case** (the headline bench's distribution): it pays per",
+        "  PARTITION, not per group, and the ×2-wave fan-out smooths the",
+        "  partition-size variance the Zipf table produces (max key share",
+        f"  {k['dist_pages_per_key']['max_share']*100:.1f}%). When one key dominates, the",
+        "  chunked grouping is the right tool — both ship, and the numbers",
+        "  above say when to use which.",
+    ]
+
+
 def write_scaling_md(s: dict, sf_dir: str) -> None:
     os.makedirs("BENCH", exist_ok=True)
     levels = s["levels"]
@@ -440,6 +499,7 @@ def write_scaling_md(s: dict, sf_dir: str) -> None:
         "just local memcpy; see encode_tier_blocks_gapfill's",
         "pre_partitioned flag.) The 8→32 pair on this host remains",
         "host-measured; the clean small pair carries the engine evidence.",
+        *_skew_section(),
         "",
         "## bench.py cache policy (cross-round comparability)",
         "",
