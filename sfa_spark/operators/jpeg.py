@@ -18,10 +18,15 @@ self-describing baseline JPEGs (its quant + Huffman tables travel in
 DQT/DHT, so any compliant decoder can read them) using simple canonical
 single-length Huffman tables — correctness over compression.
 
-Scale note: the entropy decode is a per-bit Python loop — fine for the
-fixture tests that gate this module; a corpus-scale deployment would
-swap in a table-driven reader behind the same seam. The IDCT/color
-stages are fully vectorized already.
+Scale note: entropy decode collects sparse (block, k, value) triples in
+plain Python and defers scatter/dequantize/dezigzag/IDCT to one
+whole-array pass per component, and reads the bitstream through a
+flat-table reader (one list lookup per Huffman symbol over precomputed
+16-bit windows — ``_FastBitReader``; micro-bench-gated ≥2× over the
+per-bit reference reader, which remains as the parity oracle; ~2.4×
+measured, and the sparse restructure sped BOTH paths another ~2×). The
+per-SYMBOL Python loop that remains is inherent to Huffman's sequential
+dependency.
 """
 
 from __future__ import annotations
@@ -106,8 +111,34 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
 
 
 def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol for the sequential bit-walk decoder."""
+    """(length, code) -> symbol for the sequential bit-walk decoder
+    (kept as the parity oracle for the flat-table fast path)."""
     return {(l, c): s for s, (c, l) in _canonical_codes(bits, vals).items()}
+
+
+_FLAT_CACHE: dict[tuple, list[int]] = {}
+
+
+def _flat_table(bits: list[int], vals: list[int]) -> list[int]:
+    """65536-entry lookup: next-16-bits window -> (symbol << 5) | length.
+    Every 16-bit window whose prefix is code c of length l maps to c's
+    entry, so Huffman decode is ONE list index + pointer bump instead of
+    a per-bit Python walk. Entry 0 marks an invalid code. Returned as a
+    plain Python list (int indexing is ~3× a numpy scalar lookup) and
+    cached per (BITS, HUFFVAL) — web corpora overwhelmingly reuse the
+    spec's standard tables, so the build cost is paid once per process."""
+    key = (tuple(bits), tuple(vals))
+    cached = _FLAT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    tbl = np.zeros(1 << 16, dtype=np.uint16)
+    for sym, (code, length) in _canonical_codes(bits, vals).items():
+        lo = code << (16 - length)
+        hi = (code + 1) << (16 - length)
+        tbl[lo:hi] = (sym << 5) | length
+    out = tbl.tolist()
+    _FLAT_CACHE[key] = out
+    return out
 
 
 # ---------------------------------------------------------------- decode
@@ -149,6 +180,52 @@ def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid JPEG Huffman code")
 
 
+class _FastBitReader:
+    """Table-driven reader over one destuffed entropy segment.
+
+    The segment's bits are unpacked ONCE and every 16-bit window is
+    precomputed as an integer (16 vectorized shift-adds), so
+    ``huff(tbl)`` is a single flat-table lookup + pointer bump and
+    ``read_bits(n)`` a shift — replacing the per-bit Python arithmetic
+    that dominated decode CPU (micro-bench-gated ≥2×, ~2.4× measured;
+    the per-bit reader remains as the parity oracle). Windows past the end
+    are padded with 1-bits, matching the spec's padding, and reads past
+    the data raise IndexError like the reference reader."""
+
+    __slots__ = ("win", "pos", "nbits")
+
+    def __init__(self, data: bytes):
+        bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.nbits = bits.size
+        ext = np.concatenate([bits, np.ones(16, dtype=np.uint8)]).astype(np.uint32)
+        win = np.zeros(self.nbits + 1, dtype=np.uint32)
+        for j in range(16):
+            win += ext[j : j + self.nbits + 1] << (15 - j)
+        # plain Python ints: list indexing beats numpy scalar access ~3×
+        # in the per-symbol loop
+        self.win = win.tolist()
+        self.pos = 0
+
+    def huff(self, tbl: list[int]) -> int:
+        if self.pos >= self.nbits:
+            raise IndexError("JPEG entropy segment exhausted")
+        v = tbl[self.win[self.pos]]
+        length = v & 31
+        if length == 0:
+            raise ValueError("invalid JPEG Huffman code")
+        self.pos += length
+        return v >> 5
+
+    def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos >= self.nbits:
+            raise IndexError("JPEG entropy segment exhausted")
+        v = self.win[self.pos] >> (16 - n)
+        self.pos += n
+        return v
+
+
 def _extend(v: int, t: int) -> int:
     """DC/AC magnitude-category decode (spec EXTEND)."""
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
@@ -185,13 +262,16 @@ def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
     return segs, pos
 
 
-def decode_jpeg(payload: bytes, meta=None) -> np.ndarray:
+def decode_jpeg(payload: bytes, meta=None, fast: bool = True) -> np.ndarray:
     """Decode a baseline-sequential (SOF0) JPEG to (h, w, c) uint8.
 
     Signature matches the multimodal ``decoder(payload, meta)`` seam
     (meta ignored — the SOF0 header is authoritative). Raises
     ValueError for non-JPEG payloads and NotImplementedError for
-    non-baseline variants, so callers can fall back."""
+    non-baseline variants, so callers can fall back. ``fast`` selects
+    the flat-table entropy reader (default); ``fast=False`` keeps the
+    per-bit reference reader — identical output, used as the parity
+    oracle in tests."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
@@ -229,7 +309,10 @@ def decode_jpeg(payload: bytes, meta=None) -> np.ndarray:
                 bits = list(body[i + 1 : i + 17])
                 nv = sum(bits)
                 vals = list(body[i + 17 : i + 17 + nv])
-                huff[(tc, th)] = _decode_table(bits, vals)
+                huff[(tc, th)] = {
+                    "dict": _decode_table(bits, vals),
+                    "flat": _flat_table(bits, vals),
+                }
                 i += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
             prec, h_img, w_img, nc = struct.unpack(">BHHB", body[:6])
@@ -263,38 +346,50 @@ def decode_jpeg(payload: bytes, meta=None) -> np.ndarray:
     mcux = -(-w_img // (8 * hmax))
     mcuy = -(-h_img // (8 * vmax))
 
-    # per component: packed coefficient grid (by, bx) of 8x8 blocks
-    grids = [
-        np.zeros((mcuy * c["v"], mcux * c["h"], 8, 8), dtype=np.float64)
-        for c in comps
-    ]
+    # per component: SPARSE coefficient triples (block, zigzag-k, value)
+    # accumulated in plain Python lists — the per-symbol loop touches no
+    # numpy at all; scatter + dequantize + dezigzag + IDCT happen ONCE
+    # per component as whole-array ops (per-block numpy dispatch was the
+    # decode bottleneck after the reader went table-driven)
+    sp_b: list[list[int]] = [[] for _ in comps]
+    sp_k: list[list[int]] = [[] for _ in comps]
+    sp_v: list[list[int]] = [[] for _ in comps]
     tbl_for = {}
     for (cid, tdta), comp in zip(scan, comps):
         assert cid == comp["id"], "SOS/SOF component order mismatch"
         tbl_for[cid] = (huff[(0, tdta >> 4)], huff[(1, tdta & 15)])
 
+    mk_reader = _FastBitReader if fast else _BitReader
+
+    def huffd(rd, tables) -> int:
+        return rd.huff(tables["flat"]) if fast else _huff_decode(rd, tables["dict"])
+
     seg_i = 0
-    br = _BitReader(segs[0])
+    br = mk_reader(segs[0])
     preds = [0] * len(comps)
     for mcu in range(mcux * mcuy):
         if restart_interval and mcu and mcu % restart_interval == 0:
             seg_i += 1
-            br = _BitReader(segs[seg_i])
+            br = mk_reader(segs[seg_i])
             preds = [0] * len(comps)
         my, mx = divmod(mcu, mcux)
         for ci, comp in enumerate(comps):
             dc_t, ac_t = tbl_for[comp["id"]]
-            q = qt[comp["tq"]]
+            bx_per_row = mcux * comp["h"]
+            eb, ek, ev = sp_b[ci], sp_k[ci], sp_v[ci]
             for by in range(comp["v"]):
                 for bx in range(comp["h"]):
-                    zz = np.zeros(64, dtype=np.float64)
-                    t = _huff_decode(br, dc_t)
+                    bpos = (my * comp["v"] + by) * bx_per_row + (mx * comp["h"] + bx)
+                    t = huffd(br, dc_t)
                     diff = _extend(br.read_bits(t), t) if t else 0
                     preds[ci] += diff
-                    zz[0] = preds[ci]
+                    if preds[ci]:
+                        eb.append(bpos)
+                        ek.append(0)
+                        ev.append(preds[ci])
                     k = 1
                     while k < 64:
-                        rs = _huff_decode(br, ac_t)
+                        rs = huffd(br, ac_t)
                         r, s = rs >> 4, rs & 15
                         if s == 0:
                             if r == 15:
@@ -302,19 +397,21 @@ def decode_jpeg(payload: bytes, meta=None) -> np.ndarray:
                                 continue
                             break  # EOB
                         k += r
-                        zz[k] = _extend(br.read_bits(s), s)
+                        eb.append(bpos)
+                        ek.append(k)
+                        ev.append(_extend(br.read_bits(s), s))
                         k += 1
-                    blk = np.zeros(64, dtype=np.float64)
-                    blk[_ZZ] = zz * q  # dequantize + dezigzag
-                    grids[ci][my * comp["v"] + by, mx * comp["h"] + bx] = (
-                        blk.reshape(8, 8)
-                    )
 
     planes = []
     for ci, comp in enumerate(comps):
-        g = grids[ci]
-        by, bx = g.shape[:2]
-        flat = g.reshape(by * bx, 8, 8)
+        by, bx = mcuy * comp["v"], mcux * comp["h"]
+        zzmat = np.zeros((by * bx, 64), dtype=np.float64)
+        if sp_b[ci]:
+            zzmat[sp_b[ci], sp_k[ci]] = sp_v[ci]
+        zzmat *= qt[comp["tq"]][None, :]  # dequantize (zigzag order)
+        flat = np.zeros((by * bx, 64), dtype=np.float64)
+        flat[:, _ZZ] = zzmat  # dezigzag every block at once
+        flat = flat.reshape(by * bx, 8, 8)
         # batched IDCT: f = Mᵀ F M over every block at once
         pix = np.einsum("ux,nuv,vy->nxy", _DCT, flat, _DCT) + 128.0
         plane = (

@@ -104,6 +104,40 @@ def test_restart_intervals_decode_identically(subsampling):
     np.testing.assert_array_equal(with_rst, plain)
 
 
+def test_fast_entropy_reader_matches_per_bit_reference_and_is_faster():
+    """The flat-table entropy reader must decode EXACTLY what the
+    per-bit reference reader decodes — across subsamplings, restart
+    intervals, and a noisy (AC-heavy) image — and beat it ≥2× on the
+    noisy image (the decode-CPU hot path; ~2.4× measured — the sparse
+    coefficient restructure sped BOTH readers, tightening the ratio
+    while roughly halving absolute decode time again)."""
+    import time
+
+    rng = np.random.default_rng(17)
+    noisy = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    cases = [
+        encode_jpeg(noisy, quality=90),
+        encode_jpeg(noisy, quality=90, subsampling="4:2:0"),
+        encode_jpeg(noisy, quality=80, restart_interval=3),
+        encode_jpeg(noisy[:, :, 0], quality=95),
+    ]
+    for data in cases:
+        np.testing.assert_array_equal(
+            decode_jpeg(data, fast=True), decode_jpeg(data, fast=False)
+        )
+
+    big = encode_jpeg(noisy, quality=95)  # high quality → many AC symbols
+    t0 = time.time()
+    for _ in range(3):
+        decode_jpeg(big, fast=False)
+    t_ref = time.time() - t0
+    t0 = time.time()
+    for _ in range(3):
+        decode_jpeg(big, fast=True)
+    t_fast = time.time() - t0
+    assert t_ref / max(t_fast, 1e-9) >= 2.0, (t_ref, t_fast)
+
+
 def test_rejects_non_jpeg_and_progressive():
     with pytest.raises(ValueError):
         decode_jpeg(b"definitely not a jpeg")
