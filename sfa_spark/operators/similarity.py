@@ -128,7 +128,9 @@ def _bucket_col_expr(vec_col, planes: np.ndarray):
     return F.array(*buckets)
 
 
-def _bucket_udf(n_planes: int, n_tables: int, seed: int):
+def _bucket_udf(
+    n_planes: int, n_tables: int, seed: int, planes: np.ndarray | None = None
+):
     """Signed-projection buckets as ONE Arrow-vectorized pandas UDF: a
     single (batch × dim) @ (dim × tables·planes) BLAS matmul per batch.
     Plan size is O(1) in dim — the scale path for 768-dim embeddings
@@ -137,7 +139,10 @@ def _bucket_udf(n_planes: int, n_tables: int, seed: int):
     The hyperplanes are generated LAZILY from the first batch's vector
     dimension (deterministic: seeded rng, so every task regenerates the
     identical matrix) — query construction therefore triggers NO Spark
-    job (the round-2 verdict's plan-time ``.first()`` item)."""
+    job (the round-2 verdict's plan-time ``.first()`` item). Pass an
+    explicit ``planes`` (n_tables, n_planes, dim) matrix to pin the
+    hyperplanes — the SQL-oracle mode (lsh_cosine_top3 inlines the same
+    rounded literals in DuckDB)."""
     from pyspark.sql.functions import pandas_udf
 
     weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
@@ -145,6 +150,7 @@ def _bucket_udf(n_planes: int, n_tables: int, seed: int):
     # constant after the first batch, and regenerating ~dim·tables·planes
     # gaussians per Arrow batch is pure repeated work on a large scan
     mat_cache: dict[int, np.ndarray] = {}
+    pinned = None if planes is None else np.asarray(planes, dtype=np.float64)
 
     @pandas_udf("array<long>")
     def bucketize(vecs: pd.Series) -> pd.Series:
@@ -153,9 +159,13 @@ def _bucket_udf(n_planes: int, n_tables: int, seed: int):
         vm = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         mat = mat_cache.get(vm.shape[1])
         if mat is None:
-            planes = _hyperplanes(vm.shape[1], n_planes, n_tables, seed)
+            pl = (
+                pinned
+                if pinned is not None
+                else _hyperplanes(vm.shape[1], n_planes, n_tables, seed)
+            )
             mat = np.ascontiguousarray(
-                planes.reshape(n_tables * n_planes, vm.shape[1]).T
+                pl.reshape(n_tables * n_planes, vm.shape[1]).T
             )
             mat_cache[vm.shape[1]] = mat
         proj = vm @ mat  # (n, tables*planes)
@@ -173,6 +183,7 @@ def _bucket_col(
     seed: int,
     impl: str = "pandas",
     dim: int | None = None,
+    planes: np.ndarray | None = None,
 ):
     if impl == "expr":
         if dim is None:
@@ -180,8 +191,11 @@ def _bucket_col(
                 "bucket_impl='expr' builds the plane matrix into the plan — "
                 "pass dim= explicitly (the pandas impl needs no dim)"
             )
-        return _bucket_col_expr(vec_col, _hyperplanes(dim, n_planes, n_tables, seed))
-    return _bucket_udf(n_planes, n_tables, seed)(vec_col)
+        return _bucket_col_expr(
+            vec_col,
+            planes if planes is not None else _hyperplanes(dim, n_planes, n_tables, seed),
+        )
+    return _bucket_udf(n_planes, n_tables, seed, planes)(vec_col)
 
 
 def lsh_topk(
@@ -196,25 +210,29 @@ def lsh_topk(
     seed: int = 7,
     bucket_impl: str = "pandas",
     dim: int | None = None,
+    planes: np.ndarray | None = None,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane buckets → candidate
     join → exact re-score. Probes ~|corpus|/2^n_planes per table.
 
     Query construction is action-free: the default pandas bucketizer
     derives the embedding dimension lazily inside the UDF; ``dim`` is
-    only required for ``bucket_impl='expr'``."""
+    only required for ``bucket_impl='expr'``. ``planes`` pins explicit
+    hyperplanes (the deterministic SQL-oracle mode); ``round_to`` rounds
+    the rescore so tie-breaks match a fixed-precision oracle."""
     c = with_unit_vectors(emb, vec_col, "_cu").select(
         id_col,
         "_cu",
         F.posexplode(
-            _bucket_col(F.col("_cu"), n_planes, n_tables, seed, bucket_impl, dim)
+            _bucket_col(F.col("_cu"), n_planes, n_tables, seed, bucket_impl, dim, planes)
         ).alias("_t", "_b"),
     )
     q = with_unit_vectors(queries, vec_col, "_qu").select(
         query_id_col,
         "_qu",
         F.posexplode(
-            _bucket_col(F.col("_qu"), n_planes, n_tables, seed, bucket_impl, dim)
+            _bucket_col(F.col("_qu"), n_planes, n_tables, seed, bucket_impl, dim, planes)
         ).alias("_t", "_b"),
     )
     cand = (
@@ -222,9 +240,10 @@ def lsh_topk(
         .select(query_id_col, id_col, "_cu", "_qu")
         .dropDuplicates([query_id_col, id_col])
     )
-    scored = cand.select(
-        query_id_col, id_col, _dot(F.col("_cu"), F.col("_qu")).alias("score")
-    )
+    score = _dot(F.col("_cu"), F.col("_qu"))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = cand.select(query_id_col, id_col, score.alias("score"))
     w = W.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
