@@ -470,16 +470,21 @@ def cosine_near_dup(
     bucket_impl: str = "pandas",
     max_bucket: int | None = 500,
     dim: int | None = None,
+    planes: np.ndarray | None = None,
+    round_to: int | None = None,
 ) -> DataFrame:
     """All-pairs near-duplicates by cosine ≥ threshold, LSH-bucketed
     (embedding flavor of near-dedup). Buckets larger than ``max_bucket``
     are dropped (quadratic-bucket guard, see minhash_lsh_candidates).
-    Action-free at query-construction time (see :func:`lsh_topk`)."""
+    Action-free at query-construction time (see :func:`lsh_topk`).
+    ``planes``/``round_to`` enable the deterministic SQL-oracle mode
+    (pinned hyperplanes; threshold applied to the ROUNDED cosine so a
+    boundary pair can't flip between engines)."""
     u = with_unit_vectors(emb, vec_col, "_u").select(
         id_col,
         "_u",
         F.posexplode(
-            _bucket_col(F.col("_u"), n_planes, n_tables, seed, bucket_impl, dim)
+            _bucket_col(F.col("_u"), n_planes, n_tables, seed, bucket_impl, dim, planes)
         ).alias("_t", "_b"),
     )
     if max_bucket is not None:
@@ -507,6 +512,9 @@ def cosine_near_dup(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
-        "id_a", "id_b", _dot(F.col("_ua"), F.col("_ub")).alias("cosine")
-    ).filter(F.col("cosine") >= threshold)
+    cos = _dot(F.col("_ua"), F.col("_ub"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    return cand.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )

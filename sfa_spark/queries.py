@@ -552,30 +552,32 @@ def _pinned_lsh_planes(
     return np.round(rng.standard_normal((n_tables, n_planes, dim)), 6)
 
 
-def _lsh_oracle_sql() -> str:
-    """DuckDB re-derivation of random-hyperplane LSH top-k: per-table
-    bucket id = Σ 2^i·[v·h_i > 0] (the sign is invariant to the unit
-    normalization the Spark side applies first), candidates = same
-    (table, bucket) equi-join, dedup, rescore by 6-dp cosine, top-3."""
-    planes = _pinned_lsh_planes()
+def _lsh_bucket_cte(planes, src: str, idc: str) -> str:
+    """Shared SQL fragment: per-table sign-bit bucket ids over the rows
+    of ``src`` (which must expose ``v`` as DOUBLE[]). The sign of v·h is
+    invariant to the unit normalization the Spark side applies first."""
     n_tables, n_planes, _ = planes.shape
-
-    def bucket_expr(table: int) -> str:
+    parts = []
+    for t in range(n_tables):
         terms = []
         for i in range(n_planes):
-            lits = ", ".join(repr(float(x)) for x in planes[table, i])
+            lits = ", ".join(repr(float(x)) for x in planes[t, i])
             terms.append(
                 f"(CASE WHEN list_dot_product(v, [{lits}]::DOUBLE[]) > 0 "
                 f"THEN {1 << i} ELSE 0 END)"
             )
-        return " + ".join(terms)
+        parts.append(f"SELECT {idc}, {t} AS t, {' + '.join(terms)} AS b FROM {src}")
+    return "\nUNION ALL\n".join(parts)
+
+
+def _lsh_oracle_sql() -> str:
+    """DuckDB re-derivation of random-hyperplane LSH top-k: per-table
+    bucket id = Σ 2^i·[v·h_i > 0], candidates = same (table, bucket)
+    equi-join, dedup, rescore by 6-dp cosine, top-3."""
+    planes = _pinned_lsh_planes()
 
     def buckets_cte(src: str, idc: str) -> str:
-        parts = [
-            f"SELECT {idc}, {t} AS t, {bucket_expr(t)} AS b FROM {src}"
-            for t in range(n_tables)
-        ]
-        return "\nUNION ALL\n".join(parts)
+        return _lsh_bucket_cte(planes, src, idc)
 
     return f"""
 WITH uq AS (
@@ -628,6 +630,67 @@ def lsh_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tables=2,
         planes=_pinned_lsh_planes(),
         round_to=6,
+    )
+
+
+def _cosine_near_dup_oracle_sql() -> str:
+    """DuckDB re-derivation of LSH-bucketed embedding near-dup: the
+    corpus is seeded with ×2-scaled copies of every 10th vector (cosine
+    with the original is exactly 1 — scaling preserves direction AND
+    sign buckets, so each pair is guaranteed a shared bucket), then
+    bucket-join candidates with id_a < id_b, 6-dp cosine ≥ 0.95."""
+    planes = _pinned_lsh_planes()
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding::DOUBLE[], x -> x * 2)
+  FROM embeddings WHERE vec_id % 10 = 0
+), vb AS (
+  {_lsh_bucket_cte(planes, 'base', 'vec_id')}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM vb a JOIN vb b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         round(list_cosine_similarity(x.v, y.v), 6) AS cosine
+  FROM cand c
+  JOIN base x ON x.vec_id = c.id_a
+  JOIN base y ON y.vec_id = c.id_b
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.95
+"""
+
+
+@register("cosine_near_dups", _cosine_near_dup_oracle_sql())
+def cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection, LSH-bucketed, with
+    pinned planes — the testdata has no natural near-dups (random 64-d
+    cosines ≥0.95 are ~7.6σ events), so the query seeds ×2-scaled copies
+    of every 10th vector on BOTH sides (same construction as
+    exact_dup_groups' doc_id-shifted copies). Scaling preserves both the
+    cosine (exactly 1) and every sign bucket, so the candidate generator
+    must recover every seeded pair or lose rows vs the oracle."""
+    from sfa_spark.operators.similarity import cosine_near_dup
+
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    seeded = emb.unionAll(
+        emb.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        )
+    )
+    return cosine_near_dup(
+        seeded,
+        threshold=0.95,
+        n_planes=4,
+        n_tables=2,
+        planes=_pinned_lsh_planes(),
+        round_to=6,
+        max_bucket=None,
     )
 
 
