@@ -694,6 +694,59 @@ def cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fingerprint_oracle_sql() -> str:
+    """DuckDB re-derivation of the rolling-hash document fingerprint:
+    hash_j = Σ_i byte[j+i] · base^i (mod 2^64) over 64-byte windows,
+    keep the 8 smallest DISTINCT hashes (unsigned order), reinterpreted
+    as signed int64 — exactly operators/textstats.rolling_fingerprints.
+    The mod-2^64 powers are Python-computed literals (numpy's uint64
+    wraparound ≡ pow(base, i, 2^64)); the testdata text is pure ASCII
+    (asserted by construction), so unicode(substr(…)) IS the byte. Short
+    docs (<64 bytes) hash their full length as one window, matching the
+    kernel's short branch."""
+    base = 1099511628211
+    powers = [pow(base, i, 1 << 64) for i in range(64)]
+    pw_vals = ", ".join(f"({i}, {p}::HUGEINT)" for i, p in enumerate(powers))
+    return f"""
+WITH pw(i, p) AS (VALUES {pw_vals}),
+t AS (SELECT doc_id, text, len(text) AS n FROM documents),
+w AS (
+  SELECT doc_id, text, n,
+         unnest(range(0, greatest(n - 63, 1))) AS j
+  FROM t
+), terms AS (
+  SELECT w.doc_id, w.j,
+         unicode(substr(w.text, CAST(w.j + pw.i + 1 AS INT), 1))::HUGEINT * pw.p AS term
+  FROM w JOIN pw ON w.j + pw.i < w.n
+), h AS (
+  SELECT doc_id, j, SUM(term) % 18446744073709551616::HUGEINT AS hv
+  FROM terms GROUP BY 1, 2
+), d AS (SELECT DISTINCT doc_id, hv FROM h)
+SELECT doc_id, rank, fp FROM (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hv) AS rank,
+         CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
+              THEN hv - 18446744073709551616::HUGEINT ELSE hv END AS BIGINT) AS fp
+  FROM d
+) WHERE rank <= 8
+"""
+
+
+@register("doc_fingerprints", _fingerprint_oracle_sql())
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprints per document, exploded
+    to (doc_id, rank, fp) rows — promotes the last text operator that
+    had only pytest coverage to a bit-exact DuckDB oracle (the hash is
+    re-derived in HUGEINT arithmetic, the minhash/simhash promotion
+    pattern)."""
+    from sfa_spark.operators.textstats import rolling_fingerprints
+
+    fp = rolling_fingerprints(_documents(spark, sf_dir))
+    return fp.select(
+        "doc_id", F.posexplode("fingerprint").alias("rank0", "fp")
+    ).select("doc_id", (F.col("rank0") + 1).alias("rank"), "fp")
+
+
 def _profile_sql(lang: str) -> str:
     from sfa_spark.operators.textstats import _LANG_PROFILES
 
