@@ -106,6 +106,29 @@ def test_ivf_sample_plan_scale_path_has_no_sort(spark, embeddings):
     assert "TakeOrderedAndProject" in plan_of(s2)
 
 
+def test_lsh_and_cosine_near_dup_plans_no_cartesian(spark, embeddings):
+    """The pinned-plane oracle modes must keep the scale shape: bucket
+    equi-joins (broadcast query side for top-k), never a cartesian
+    product over the corpus."""
+    from pyspark.sql import functions as F
+
+    from sfa_spark.operators.similarity import cosine_near_dup, lsh_topk
+
+    rng = __import__("numpy").random.default_rng(29)
+    planes = __import__("numpy").round(rng.standard_normal((2, 4, 64)), 6)
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+
+    p = plan_of(lsh_topk(emb, q, k=3, n_planes=4, n_tables=2, planes=planes))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p, p[:1500]
+
+    p2 = plan_of(cosine_near_dup(emb, planes=planes, n_planes=4, n_tables=2))
+    assert "CartesianProduct" not in p2
+
+
 def test_sfa_words_plan_has_no_window_and_batched_groups(spark, events):
     """The SFA downsample stage must stay window-free (order comes from
     the dense bucket_ts, not a row_number shuffle+sort) and group by the
