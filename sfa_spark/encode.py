@@ -139,6 +139,15 @@ def encode_tier_blocks_gapfill(
          vectorized kernel and the compressed output.
 
     Verified equal to the unfused path in tests (same blobs, byte-for-byte).
+
+    Skew ceiling: partitioning is by KEY (a key's rows must be
+    contiguous for the streaming LOCF carry), so one key holding p% of
+    all observed rows bounds the stage at p% · total / one core —
+    measured end-to-end in jobs/skew_bench.py (BENCH/BASELINE.md): at a
+    30%-hot key the epoch-chunked ``encode_tier_blocks`` grouping wins
+    ~2×. This fused path is the default for realistic Zipf-ish skew
+    (max key share a few %, smoothed by the ×2-wave fan-out); switch to
+    the chunked grouping when a single key dominates.
     """
     if isinstance(key_cols, str):
         key_cols = [key_cols]

@@ -519,7 +519,10 @@ def knn_query_index(
     query: np.ndarray,
     k: int = 1,
 ) -> tuple[pd.DataFrame, dict]:
-    """Exact k-NN over the persisted index with prefix-partition pruning.
+    """Exact k-NN over the persisted index with prefix-partition pruning
+    — SINGLE-query form (2 Spark jobs per query). For query sets use
+    :func:`knn_query_index_batch` (one seed+verify pass for the whole
+    set); this form is kept as its parity oracle and for ad-hoc lookups.
 
     Returns (result pandas DF with columns key/offset/dist, stats with
     prefixes_total / prefixes_seed / prefixes_read — the files-read

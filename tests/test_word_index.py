@@ -230,6 +230,28 @@ def test_incremental_append_matches_brute_force(spark, tmp_path):
     assert got["dist"].iloc[0] <= 1e-18  # finds the newly appended window
     assert info3["windows"] == info2["windows"] + info3["appended_windows"]
 
+    # the BATCHED multi-query API works over the multi-snapshot append
+    # layout too (per-prefix `paths` lists spanning snapshot roots) and
+    # still equals the per-query loop exactly
+    from sfa_spark.operators.word_index import knn_query_index_batch
+
+    queries = np.stack(
+        [
+            combined[0][20 : 20 + W],
+            combined[5][20 : 20 + W],
+            batch3[0][5 : 5 + W],
+        ]
+    )
+    batch_res, bstats = knn_query_index_batch(spark, root, queries, k=K)
+    for qi in range(3):
+        want, _ = knn_query_index(spark, root, queries[qi], k=K)
+        g = batch_res[batch_res["query_id"] == qi].reset_index(drop=True)
+        np.testing.assert_array_equal(g["key"].to_numpy(), want["key"].to_numpy())
+        np.testing.assert_array_equal(
+            g["offset"].to_numpy(), want["offset"].to_numpy()
+        )
+        np.testing.assert_array_equal(g["dist"].to_numpy(), want["dist"].to_numpy())
+
 
 def test_batched_verify_matches_scalar_and_is_faster():
     """VERDICT r3 item 3: the kNN exact-verify phase is a chunked matrix
