@@ -312,6 +312,12 @@ def _skew_section() -> list[str]:
         f"| encode kernel (sharp skew) | per-key applyInPandas | {k['encode_per_key_s']} |",
         f"| encode kernel (sharp skew) | epoch-chunked applyInPandas (shipped shape) | **{k['encode_chunked_s']}** |",
         "",
+        "(Each encode arm runs its SHIPPED configuration — fused at its",
+        "default 4096-bucket blocks, chunked at 65536-bucket groups — so",
+        "this is a task-shape comparison, not byte-identical outputs; the",
+        "sharp tier is gap-free, so the gap-fill half of the fused kernel",
+        "is identity work there.)",
+        "",
         "Findings, with the mechanism each number demonstrates:",
         "",
         "- **Salting does NOT pay for the tier aggregation, by construction.**",
