@@ -498,7 +498,9 @@ def knn_query_index_batch(
         "prefixes_total": len(lbs),
         "prefixes_seed": len(seed),
         "prefixes_read": len(seed) + len(survivors),
-        "spark_jobs": 1 if not survivors else 2,
+        # search phases executed (≤2 regardless of |queries|); actual
+        # Spark job counts are asserted via statusTracker in tests
+        "phases": 1 if not survivors else 2,
     }
     merged = seed_res
     if survivors:
