@@ -459,6 +459,190 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    emb: DataFrame,
+    root: str,
+    n_centroids: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+    sample_rows: int = 50_000,
+    corpus_rows: int | None = None,
+    centroids: np.ndarray | None = None,
+    round_assign: int | None = None,
+    job: str = "ivf_index",
+) -> dict:
+    """Persist the IVF inverted lists as a TableIO snapshot table:
+    corpus UNIT vectors partitioned by their nearest-centroid list id,
+    centroids in the manifest metrics (driver-sized, like the word
+    index's MBRs). At 100 TB the corpus is bucketized ONCE — queries
+    read only their probed lists' files (partition pruning), instead of
+    re-assigning the whole corpus per query batch the way the ephemeral
+    :func:`ivf_topk` does. Returns {snapshot, lists, vectors}."""
+    from sfa_spark.tableio import TableIO
+
+    if centroids is None:
+        centroids = fit_ivf_centroids(
+            emb, n_centroids, id_col, vec_col, seed=seed,
+            sample_rows=sample_rows, corpus_rows=corpus_rows,
+        )
+    rows = with_unit_vectors(emb, vec_col, "_u").select(
+        F.col(id_col).alias("vec_id"),
+        F.col("_u").alias("unit"),
+        _ivf_assign_udf(centroids, 1, round_assign)(F.col("_u"))[0].alias("list"),
+    )
+    counts = {
+        int(r["list"]): r["n"]
+        for r in rows.groupBy("list").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    tio = TableIO(root)
+    snap = tio.write_snapshot(
+        rows,
+        "list",
+        job=job,
+        metrics={
+            "centroids": [[float(x) for x in c] for c in centroids],
+            "list_counts": {str(k): v for k, v in counts.items()},
+        },
+    )
+    return {"snapshot": snap, "lists": len(counts), "vectors": sum(counts.values())}
+
+
+def append_ivf_index(
+    emb: DataFrame,
+    root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_assign: int | None = None,
+    job: str = "ivf_index_append",
+) -> dict:
+    """Add new vectors to a persisted IVF index: assign against the
+    FROZEN committed centroids, write only the new rows into a snapshot
+    whose manifest unions per-list files (``merge_partitions`` — the
+    same no-rewrite append the word index uses). The standard IVF
+    maintenance mode: the coarse quantizer only routes, so appends never
+    touch existing lists' files."""
+    from sfa_spark.tableio import TableIO
+
+    tio = TableIO(root)
+    m = tio.manifest()
+    if m is None:
+        raise FileNotFoundError(f"no IVF index snapshot at {root}")
+    centroids = np.asarray(m["metrics"]["centroids"], dtype=np.float64)
+    rows = with_unit_vectors(emb, vec_col, "_u").select(
+        F.col(id_col).alias("vec_id"),
+        F.col("_u").alias("unit"),
+        _ivf_assign_udf(centroids, 1, round_assign)(F.col("_u"))[0].alias("list"),
+    )
+    new_counts = {
+        int(r["list"]): r["n"]
+        for r in rows.groupBy("list").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    old_counts = {int(k): v for k, v in m["metrics"]["list_counts"].items()}
+    merged = dict(old_counts)
+    for k, v in new_counts.items():
+        merged[k] = merged.get(k, 0) + v
+    snap = tio.write_snapshot(
+        rows,
+        "list",
+        job=job,
+        metrics={
+            "centroids": m["metrics"]["centroids"],
+            "list_counts": {str(k): v for k, v in merged.items()},
+        },
+        merge_partitions=True,
+    )
+    return {
+        "snapshot": snap,
+        "lists": len(merged),
+        "vectors": sum(merged.values()),
+        "appended": sum(new_counts.values()),
+    }
+
+
+def query_ivf_index(
+    spark,
+    root: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 8,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+    round_assign: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """ANN top-k over the persisted index with LIST-PARTITION PRUNING:
+    query probes are computed driver-side against the manifest's
+    centroids (the query set is small by contract), and only the probed
+    lists' parquet files are read — the trie/word-index files-read
+    discipline applied to ANN. Scoring matches :func:`ivf_topk` exactly
+    for the same centroids/rounding (tested). Returns (result DF
+    [query_id, vec_id, score, rank], stats with lists_total /
+    lists_read)."""
+    import os
+
+    from sfa_spark.tableio import TableIO
+
+    tio = TableIO(root)
+    m = tio.manifest()
+    if m is None:
+        raise FileNotFoundError(f"no IVF index snapshot at {root}")
+    centroids = np.asarray(m["metrics"]["centroids"], dtype=np.float64)
+    parts = m["partitions"]
+
+    qpd = with_unit_vectors(queries, vec_col, "_qu").select(
+        query_id_col, "_qu"
+    ).toPandas()
+    qm = np.stack([np.asarray(v, dtype=np.float64) for v in qpd["_qu"]])
+    sims = qm @ centroids.T
+    if round_assign is not None:
+        sims = np.round(sims, round_assign)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, : min(nprobe, sims.shape[1])]
+    else:
+        p = min(nprobe, sims.shape[1])
+        top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+    probes = [
+        (int(qpd[query_id_col].iloc[i]), int(li))
+        for i in range(len(qpd))
+        for li in top[i]
+    ]
+    needed = sorted({li for _, li in probes if str(li) in parts})
+    stats = {"lists_total": len(parts), "lists_read": len(needed)}
+    # append snapshots can spread one list over several snapshot roots:
+    # group by root so basePath recovers the hive `list` column
+    by_root: dict[str, list[str]] = {}
+    for li in needed:
+        for path in parts[str(li)].get("paths") or [parts[str(li)]["path"]]:
+            r = os.path.join(tio.root, path.split("/", 1)[0])
+            by_root.setdefault(r, []).append(os.path.join(tio.root, path))
+    from functools import reduce
+
+    dfs = [
+        spark.read.option("basePath", r).parquet(*ps)
+        for r, ps in sorted(by_root.items())
+    ]
+    corpus = reduce(lambda a, b: a.unionByName(b), dfs)
+    probe_df = spark.createDataFrame(probes, f"{query_id_col} long, list int")
+    qdf = spark.createDataFrame(
+        [(int(qpd[query_id_col].iloc[i]), [float(x) for x in qm[i]]) for i in range(len(qpd))],
+        f"{query_id_col} long, _qu array<double>",
+    )
+    cand = corpus.join(F.broadcast(probe_df), "list").join(
+        F.broadcast(qdf), query_id_col
+    )
+    score = _dot(F.col("unit"), F.col("_qu"))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = cand.select(query_id_col, "vec_id", score.alias("score"))
+    w = W.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("vec_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "vec_id", "score", "rank")
+    )
+    return out, stats
+
+
 def cosine_near_dup(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -537,6 +537,35 @@ def ivf_probe_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ivf_index_top3", _ivf_probe_oracle_sql())
+def ivf_index_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTENT IVF index (TableIO snapshot, corpus partitioned by
+    inverted-list id, centroids in the manifest) answering the same
+    pinned-centroid nprobe=2 workload as ivf_probe_top3 — and checked
+    against the SAME DuckDB oracle: build-once + partition-pruned reads
+    must be bit-identical to the ephemeral path's semantics. Probes are
+    computed driver-side; only the probed lists' files are read."""
+    import tempfile
+
+    from sfa_spark.operators.similarity import build_ivf_index, query_ivf_index
+
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with tempfile.TemporaryDirectory(prefix="sfa_ivf_") as tmp:
+        build_ivf_index(
+            emb, tmp + "/index", centroids=_pinned_ivf_centroids(), round_assign=6
+        )
+        out, stats = query_ivf_index(
+            spark, tmp + "/index", q, k=3, nprobe=2, round_to=6, round_assign=6
+        )
+        pdf = out.toPandas()  # materialize before the scoped root vanishes
+    return spark.createDataFrame(pdf, schema=out.schema)
+
+
 def _pinned_lsh_planes(
     dim: int = 64, n_planes: int = 4, n_tables: int = 2, seed: int = 29
 ):

@@ -397,6 +397,78 @@ def test_ivf_sampler_auto_mod_determinism_and_starved_guard(spark, embeddings):
     np.testing.assert_allclose(np.linalg.norm(cent, axis=1), 1.0, rtol=1e-9)
 
 
+def test_persistent_ivf_index_build_query_prune_append(spark, embeddings, tmp_path):
+    """TableIO-backed IVF index: (a) querying the persisted list
+    partitions equals the ephemeral ivf_topk with the same centroids
+    exactly; (b) only the probed lists' files are read (partition
+    pruning stats); (c) append assigns against the frozen centroids,
+    rewrites nothing, and post-append queries equal a full rebuild."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sfa_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        fit_ivf_centroids,
+        ivf_topk,
+        query_ivf_index,
+    )
+
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    first = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cent = fit_ivf_centroids(first, n_centroids=8)
+
+    root = str(tmp_path / "ivf_index")
+    info = build_ivf_index(first, root, centroids=cent)
+    assert info["vectors"] == first.count()
+    assert 1 < info["lists"] <= 8
+
+    got, stats = query_ivf_index(spark, root, q, k=3, nprobe=2, round_to=6)
+    want = ivf_topk(first, q, k=3, nprobe=2, centroids=cent, round_to=6)
+    g = got.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    w = want.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    np.testing.assert_array_equal(g["vec_id"].values, w["vec_id"].values)
+    np.testing.assert_array_equal(g["score"].values, w["score"].values)
+    # pruning: at most queries×nprobe lists read, strictly fewer than all
+    assert stats["lists_read"] <= 5 * 2
+    assert stats["lists_read"] < stats["lists_total"]
+
+    # append: no existing file rewritten, combined results == rebuild
+    from sfa_spark.tableio import TableIO
+
+    snap1_dir = os.path.join(root, TableIO(root).current_snapshot())
+    before = {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(snap1_dir)
+        for f in fs
+    }
+    info2 = append_ivf_index(extra, root)
+    assert info2["appended"] == extra.count()
+    assert info2["vectors"] == emb.count()
+    after = {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(snap1_dir)
+        for f in fs
+    }
+    assert before == after, "append rewrote existing list files"
+
+    root2 = str(tmp_path / "ivf_rebuild")
+    build_ivf_index(emb, root2, centroids=cent)
+    got2, _ = query_ivf_index(spark, root, q, k=3, nprobe=3, round_to=6)
+    want2, _ = query_ivf_index(spark, root2, q, k=3, nprobe=3, round_to=6)
+    g2 = got2.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    w2 = want2.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    np.testing.assert_array_equal(g2["vec_id"].values, w2["vec_id"].values)
+    np.testing.assert_array_equal(g2["score"].values, w2["score"].values)
+
+
 def test_ivf_topk_recall_and_work_bound(spark, embeddings):
     """nprobe < n_centroids: perturbed-corpus queries (cos ≈ 0.99+) must
     recover their true neighbor at rank 1 — the IVF analogue of the LSH
