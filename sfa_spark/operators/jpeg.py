@@ -356,7 +356,10 @@ def decode_jpeg(payload: bytes, meta=None, fast: bool = True) -> np.ndarray:
     sp_v: list[list[int]] = [[] for _ in comps]
     tbl_for = {}
     for (cid, tdta), comp in zip(scan, comps):
-        assert cid == comp["id"], "SOS/SOF component order mismatch"
+        if cid != comp["id"]:
+            # the MCU interleave below follows SOF order; a scan ordered
+            # differently would need reordered decode — out of scope
+            raise NotImplementedError("SOS component order differs from SOF")
         tbl_for[cid] = (huff[(0, tdta >> 4)], huff[(1, tdta & 15)])
 
     mk_reader = _FastBitReader if fast else _BitReader

@@ -608,6 +608,11 @@ def query_ivf_index(
     ]
     needed = sorted({li for _, li in probes if str(li) in parts})
     stats = {"lists_total": len(parts), "lists_read": len(needed)}
+    if not needed:  # every probed list is empty/absent — empty result
+        empty = spark.createDataFrame(
+            [], f"{query_id_col} long, vec_id long, score double, rank int"
+        )
+        return empty, stats
     # append snapshots can spread one list over several snapshot roots:
     # group by root so basePath recovers the hive `list` column
     by_root: dict[str, list[str]] = {}
