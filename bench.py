@@ -422,6 +422,14 @@ def write_scaling_md(s: dict, sf_dir: str) -> None:
         ]
     lines += [
         "",
+        "Measurement-window discipline: the probes are re-run before any",
+        "scaling refresh, and a refresh is SKIPPED when the window is",
+        "degraded (e.g. BENCH/host_probe_r5.json: single-stream triad",
+        "0.35-2.25 GB/s across all core ranges vs ~7-8.5 in the committed",
+        "quiet window, with internally inconsistent level aggregates) —",
+        "re-measuring then would conflate tenant noise with engine",
+        "behavior, so the committed quiet-window numbers stand.",
+        "",
         "On this virtualized single-socket host, even EMBARRASSINGLY",
         f"PARALLEL, shared-nothing work cannot scale {lo}→{hi} cleanly",
         "(ALU row — hypervisor/turbo clock effects), the DRAM bus is at or",
