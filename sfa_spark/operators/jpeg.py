@@ -117,6 +117,9 @@ def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int
 
 
 _FLAT_CACHE: dict[tuple, list[int]] = {}
+_FLAT_CACHE_MAX = 16  # each entry is a 65536-int list (~2.3 MB boxed):
+# standard Annex-K tables stay hot; per-image optimized-Huffman tables
+# (mozjpeg etc.) churn through a bounded FIFO window instead of leaking
 
 
 def _flat_table(bits: list[int], vals: list[int]) -> list[int]:
@@ -137,6 +140,8 @@ def _flat_table(bits: list[int], vals: list[int]) -> list[int]:
         hi = (code + 1) << (16 - length)
         tbl[lo:hi] = (sym << 5) | length
     out = tbl.tolist()
+    if len(_FLAT_CACHE) >= _FLAT_CACHE_MAX:
+        _FLAT_CACHE.pop(next(iter(_FLAT_CACHE)))  # FIFO evict
     _FLAT_CACHE[key] = out
     return out
 
@@ -339,6 +344,10 @@ def decode_jpeg(payload: bytes, meta=None, fast: bool = True) -> np.ndarray:
     h_img, w_img, comps = frame
     if len(comps) not in (1, 3):
         raise NotImplementedError("only greyscale / YCbCr JPEG supported")
+    if len(scan) != len(comps):
+        # spec-legal non-interleaved multi-scan baseline (first SOS a
+        # component subset) — out of scope for this single-scan decoder
+        raise NotImplementedError("multi-scan baseline JPEG unsupported")
 
     segs, _ = _entropy_segments(payload, pos)
     hmax = max(c["h"] for c in comps)

@@ -263,10 +263,11 @@ def ivf_sample_plan(
 ) -> tuple[DataFrame, int]:
     """Build the (lazy) sampling DataFrame for the IVF fit and resolve
     the effective mod. Factored out so plan tests can assert the
-    large-corpus path contains NO global Sort — just scan + hash-mod
-    filter (the round-4 verdict's scale footgun: the old default was
-    ``orderBy(id)`` over the whole corpus, with the pushdown filter
-    opt-in and never passed by ``ivf_topk``).
+    large-corpus path contains NO full Sort exchange — just scan +
+    hash-mod filter + a distributed ordered limit (the round-4 verdict's
+    scale footgun: the old default was ``orderBy(id)`` over the whole
+    corpus, with the pushdown filter opt-in and never passed by
+    ``ivf_topk``).
 
     ``sample_mod`` resolution:
       * ``None`` (default) — AUTO: estimate corpus rows (``corpus_rows``
@@ -279,9 +280,14 @@ def ivf_sample_plan(
       * ``0``/``1`` — force the exact orderBy path.
       * ``>1`` — explicit mod.
 
-    Returns (sample_df, mod) where mod==0 means the exact path. The mod
-    path's DataFrame carries ``_h = xxhash64(id)`` so the driver can
-    order survivors deterministically WITHOUT a corpus-side sort."""
+    Returns (sample_df, mod) where mod==0 means the exact path. Both
+    paths are capped at ``sample_rows`` SPARK-side (ordered limit —
+    Catalyst compiles it to a distributed TakeOrderedAndProject, never
+    a full Sort exchange), so the driver collect is bounded even when a
+    caller-supplied mod underestimates the corpus (self-review r5: an
+    uncapped survivor collect could OOM the driver). The mod path
+    orders by ``(_h, id)``, so the chosen subset stays a deterministic
+    function of the ids regardless of partitioning."""
     s = with_unit_vectors(emb, vec_col, "_u").select(id_col, "_u")
     if sample_mod is None:
         rows = corpus_rows if corpus_rows is not None else emb.select(id_col).count()
@@ -289,7 +295,10 @@ def ivf_sample_plan(
     if sample_mod and sample_mod > 1:
         h = F.xxhash64(id_col)
         return (
-            s.withColumn("_h", h).filter(F.pmod(h, F.lit(sample_mod)) == 0),
+            s.withColumn("_h", h)
+            .filter(F.pmod(h, F.lit(sample_mod)) == 0)
+            .orderBy("_h", id_col)
+            .limit(sample_rows),
             sample_mod,
         )
     return s.orderBy(id_col).limit(sample_rows), 0
@@ -316,10 +325,10 @@ def fit_ivf_centroids(
 
     Sampling (see :func:`ivf_sample_plan`): large corpora are pruned by
     an ``xxhash64(id) % mod == 0`` filter — pushdown-friendly, no
-    corpus-side sort — and the expected-~sample_rows survivors are
-    ordered DRIVER-side by (hash, id), so the chosen subset is a
-    deterministic function of the ids regardless of partitioning. The
-    mod is derived automatically from the corpus row count unless the
+    full-corpus Sort — then a distributed ordered limit over the
+    expected-~sample_rows survivors keeps the driver collect bounded
+    and the chosen subset a deterministic function of the ids. The mod
+    is derived automatically from the corpus row count unless the
     caller passes one. If the filter leaves fewer than ``n_centroids``
     rows (corpus shrank, or a caller-supplied mod was too aggressive)
     the fit FALLS BACK to the exact orderBy path instead of crashing in
@@ -328,17 +337,10 @@ def fit_ivf_centroids(
         emb, id_col, vec_col, sample_rows, sample_mod, corpus_rows
     )
     sample = s.toPandas()
-    if mod:
-        if len(sample) < n_centroids:
-            # hash-mod filter starved the sample — take the exact path
-            s, _ = ivf_sample_plan(emb, id_col, vec_col, sample_rows, 0)
-            sample = s.toPandas()
-        else:
-            sample = (
-                sample.sort_values(["_h", id_col], kind="stable")
-                .head(sample_rows)
-                .reset_index(drop=True)
-            )
+    if mod and len(sample) < n_centroids:
+        # hash-mod filter starved the sample — take the exact path
+        s, _ = ivf_sample_plan(emb, id_col, vec_col, sample_rows, 0)
+        sample = s.toPandas()
     if len(sample) == 0:
         raise ValueError("fit_ivf_centroids: corpus is empty — nothing to sample")
     x = np.stack([np.asarray(v, dtype=np.float64) for v in sample["_u"]])
@@ -490,21 +492,24 @@ def build_ivf_index(
         F.col(id_col).alias("vec_id"),
         F.col("_u").alias("unit"),
         _ivf_assign_udf(centroids, 1, round_assign)(F.col("_u"))[0].alias("list"),
-    )
-    counts = {
-        int(r["list"]): r["n"]
-        for r in rows.groupBy("list").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    tio = TableIO(root)
-    snap = tio.write_snapshot(
-        rows,
-        "list",
-        job=job,
-        metrics={
-            "centroids": [[float(x) for x in c] for c in centroids],
-            "list_counts": {str(k): v for k, v in counts.items()},
-        },
-    )
+    ).persist()  # the normalize+assign pass feeds counts AND the write — once
+    try:
+        counts = {
+            int(r["list"]): r["n"]
+            for r in rows.groupBy("list").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        tio = TableIO(root)
+        snap = tio.write_snapshot(
+            rows,
+            "list",
+            job=job,
+            metrics={
+                "centroids": [[float(x) for x in c] for c in centroids],
+                "list_counts": {str(k): v for k, v in counts.items()},
+            },
+        )
+    finally:
+        rows.unpersist()
     return {"snapshot": snap, "lists": len(counts), "vectors": sum(counts.values())}
 
 
@@ -533,29 +538,37 @@ def append_ivf_index(
         F.col(id_col).alias("vec_id"),
         F.col("_u").alias("unit"),
         _ivf_assign_udf(centroids, 1, round_assign)(F.col("_u"))[0].alias("list"),
-    )
-    new_counts = {
-        int(r["list"]): r["n"]
-        for r in rows.groupBy("list").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    old_counts = {int(k): v for k, v in m["metrics"]["list_counts"].items()}
-    merged = dict(old_counts)
-    for k, v in new_counts.items():
-        merged[k] = merged.get(k, 0) + v
-    snap = tio.write_snapshot(
-        rows,
-        "list",
-        job=job,
-        metrics={
-            "centroids": m["metrics"]["centroids"],
-            "list_counts": {str(k): v for k, v in merged.items()},
-        },
-        merge_partitions=True,
-    )
+    ).persist()  # one assignment pass feeds counts AND the write
+    try:
+        new_counts = {
+            int(r["list"]): r["n"]
+            for r in rows.groupBy("list").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        # count union evaluated UNDER the commit lock (metrics_fn): two
+        # concurrent appends both merging into a pre-read manifest would
+        # lose each other's counts (the files themselves union safely —
+        # merge_partitions reads the parent under the lock)
+        merged_cell: dict = {}
+
+        def merge_fn(cur: dict) -> dict:
+            merged = {int(k): v for k, v in (cur.get("list_counts") or {}).items()}
+            for k, v in new_counts.items():
+                merged[k] = merged.get(k, 0) + v
+            merged_cell.update(merged)
+            return {
+                "centroids": cur.get("centroids") or m["metrics"]["centroids"],
+                "list_counts": {str(k): v for k, v in merged.items()},
+            }
+
+        snap = tio.write_snapshot(
+            rows, "list", job=job, metrics_fn=merge_fn, merge_partitions=True
+        )
+    finally:
+        rows.unpersist()
     return {
         "snapshot": snap,
-        "lists": len(merged),
-        "vectors": sum(merged.values()),
+        "lists": len(merged_cell),
+        "vectors": sum(merged_cell.values()),
         "appended": sum(new_counts.values()),
     }
 
@@ -593,6 +606,11 @@ def query_ivf_index(
     qpd = with_unit_vectors(queries, vec_col, "_qu").select(
         query_id_col, "_qu"
     ).toPandas()
+    if len(qpd) == 0:  # empty query set: empty typed result, no reads
+        empty = spark.createDataFrame(
+            [], f"{query_id_col} long, vec_id long, score double, rank int"
+        )
+        return empty, {"lists_total": len(parts), "lists_read": 0}
     qm = np.stack([np.asarray(v, dtype=np.float64) for v in qpd["_qu"]])
     sims = qm @ centroids.T
     if round_assign is not None:

@@ -204,21 +204,30 @@ def append_word_index(
         raise FileNotFoundError(f"no index snapshot at {root}")
     model_dict = m["metrics"]["model"]
     prefix_len = m["metrics"]["prefix_len"]
-    old_mbrs = m["metrics"]["mbrs"]
     rows = _transform_rows(series_df, model_dict, prefix_len, key_col, t_col, value_col)
     new_mbrs = _prefix_mbrs(rows, model_dict["word_length"])
-    merged = _merge_mbrs(old_mbrs, new_mbrs)
+    # the MBR union is evaluated UNDER the commit lock against the
+    # then-current manifest (metrics_fn): merging into a manifest read
+    # before the data write would lose a concurrent append's boxes —
+    # shrunken MBRs mean FALSE DISMISSALS, not just bad bookkeeping
+    merged_cell: dict = {}
+
+    def merge_fn(cur: dict) -> dict:
+        merged = _merge_mbrs(cur.get("mbrs") or {}, new_mbrs)
+        merged_cell.update(merged)
+        return {"model": model_dict, "prefix_len": prefix_len, "mbrs": merged}
+
     snap = tio.write_snapshot(
         rows,
         "prefix",
         job=job,
-        metrics={"model": model_dict, "prefix_len": prefix_len, "mbrs": merged},
+        metrics_fn=merge_fn,
         merge_partitions=True,
     )
     return {
         "snapshot": snap,
-        "prefixes": len(merged),
-        "windows": int(sum(v["n"] for v in merged.values())),
+        "prefixes": len(merged_cell),
+        "windows": int(sum(v["n"] for v in merged_cell.values())),
         "appended_windows": int(sum(v["n"] for v in new_mbrs.values())),
     }
 
@@ -374,8 +383,22 @@ def knn_query_index_batch(
     parts = m["partitions"]
 
     qm = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    if qm.size == 0:
+        return (
+            pd.DataFrame(
+                {
+                    "query_id": np.empty(0, dtype=np.int64),
+                    "key": np.empty(0, dtype=np.int64),
+                    "offset": np.empty(0, dtype=np.int64),
+                    "dist": np.empty(0, dtype=np.float64),
+                }
+            ),
+            {"queries": 0, "prefixes_total": len(m["metrics"]["mbrs"]),
+             "prefixes_seed": 0, "prefixes_read": 0, "phases": 0},
+        )
     qids = list(query_ids) if query_ids is not None else list(range(qm.shape[0]))
-    assert len(qids) == qm.shape[0]
+    if len(qids) != qm.shape[0]:
+        raise ValueError("query_ids length must match the query count")
     prepped = [_prep_query(qm[i], model) for i in range(qm.shape[0])]
 
     # per-query per-prefix MBR lower bounds — driver-sized (α^prefix_len
@@ -430,17 +453,24 @@ def knn_query_index_batch(
 
         def per_part(batches):
             mm = SFAModel.from_dict(model_dict)
+            nq = len(q_payload)
             for pdf in batches:
                 if pdf.empty:
                     continue
                 words = np.stack(pdf["word"].to_numpy()).astype(np.int64)
-                pfx = pdf["prefix"].astype(str)
+                # ONE factorize per batch, then per-query bounds are a
+                # fancy-index into a (distinct-prefixes × queries) matrix
+                # — a per-row python lambda per query would dominate the
+                # vectorized verify at large query sets (self-review r5)
+                codes, uniques = pd.factorize(pdf["prefix"].astype(str))
+                mbr_mat = np.asarray(
+                    [prefix_lb.get(u, [0.0] * nq) for u in uniques],
+                    dtype=np.float64,
+                )  # (u, nq)
                 outs = []
                 for qi, (qid, qv, dq, wq) in enumerate(q_payload):
                     bound = bounds.get(qid, np.inf)
-                    mbr_row = pfx.map(
-                        lambda p, _qi=qi: prefix_lb.get(p, [0.0] * len(q_payload))[_qi]
-                    ).to_numpy(dtype=np.float64)
+                    mbr_row = mbr_mat[codes, qi]
                     if (mbr_row >= bound).all():
                         continue  # whole partition pruned for this query
                     lb = sfa_lower_bound(

@@ -145,7 +145,11 @@ def time_travel_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             tier="1d",
         )
         r2 = refresh_tier(spark, ev, root, ["user_id"], "ts", "value", tier="1d")
-        assert r2["snapshot"] != r1["snapshot"], "second refresh must commit"
+        if r2["snapshot"] == r1["snapshot"]:  # not assert: survives python -O
+            raise RuntimeError(
+                "time_travel_1d: second refresh did not commit — the "
+                "'historical' read would silently include the last day"
+            )
         hist = TableIO(root).read(spark, snapshot=r1["snapshot"]).select(
             "user_id",
             "bucket_ts",

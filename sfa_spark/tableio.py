@@ -133,6 +133,7 @@ class TableIO:
         carry_forward: bool = True,
         merge_partitions: bool = False,
         precondition=None,
+        metrics_fn=None,
     ) -> str | None:
         """Write ``df`` partitioned by ``partition_col`` as a new snapshot.
 
@@ -151,6 +152,14 @@ class TableIO:
         is how conditional fences — e.g. the streaming sink's
         exactly-once batch-id check — stay atomic against concurrent
         writers: a check done before the lock could pass in two racers.
+
+        ``metrics_fn`` (current-metrics -> dict) is likewise evaluated
+        UNDER the lock, for metrics whose merge rule must see the
+        then-current value rather than a pre-read one (e.g. an append's
+        MBR/count union — two concurrent appends would otherwise both
+        merge into the same stale parent and the loser's contribution
+        would vanish from the bookkeeping). Keys it returns override
+        both the carried metrics and ``metrics``.
         """
         # data files are written to a writer-private staging dir OUTSIDE
         # the commit lock (the long part — minutes at scale); the
@@ -226,7 +235,11 @@ class TableIO:
                 "job": job,
                 "partition_col": partition_col,
                 "partitions": parts,
-                "metrics": {**parent_metrics, **(metrics or {})},
+                "metrics": {
+                    **parent_metrics,
+                    **(metrics or {}),
+                    **((metrics_fn(parent_metrics) if metrics_fn else {})),
+                },
             })
         return snap
 

@@ -87,15 +87,18 @@ def test_lsh_candidates_no_cartesian(spark, documents):
 
 def test_ivf_sample_plan_scale_path_has_no_sort(spark, embeddings):
     """Above the auto-mod threshold the IVF fit's sampling plan is scan +
-    hash-mod filter — NO global Sort anywhere over the corpus (the
-    round-4 scale footgun: the old default sorted the whole corpus by
-    id). The expected-~sample_rows survivors are ordered driver-side."""
+    hash-mod filter + distributed ordered LIMIT — no full Sort exchange
+    anywhere over the corpus (the round-4 scale footgun: the old default
+    sorted the whole corpus by id), and the driver collect is capped at
+    sample_rows even if a caller-supplied mod underestimates the corpus
+    (self-review r5)."""
     from sfa_spark.operators.similarity import ivf_sample_plan
 
     s, mod = ivf_sample_plan(embeddings, sample_rows=100, corpus_rows=10_000_000)
     assert mod == 100_000
     p = plan_of(s)
-    assert "Sort" not in p, p
+    assert "Sort" not in p, p  # TakeOrderedAndProject ≠ a Sort exchange
+    assert "TakeOrderedAndProject" in p, p
     assert "xxhash64" in p, p
 
     # below the threshold (estimate supplied, no count job): exact path
