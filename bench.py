@@ -420,29 +420,40 @@ def write_scaling_md(s: dict, sf_dir: str) -> None:
             f"| encode kernel alone (no Spark) | the engine's numpy kernel in "
             f"bare processes | {_eff('kernel', sm, lo)} | {_eff('kernel', lo, hi)} |",
         ]
+    tri_hi = _eff("triad", lo, hi) if roof else "n/a"
+    alu_hi = _eff("alu", lo, hi) if roof else "n/a"
+    ker_hi = _eff("kernel", lo, hi) if roof else "n/a"
     lines += [
         "",
         "Measurement-window discipline: the probes are re-run before any",
         "scaling refresh, and a refresh is SKIPPED when the window is",
-        "degraded (e.g. BENCH/host_probe_r5.json: single-stream triad",
-        "0.35-2.25 GB/s across all core ranges vs ~7-8.5 in the committed",
-        "quiet window, with internally inconsistent level aggregates) —",
-        "re-measuring then would conflate tenant noise with engine",
-        "behavior, so the committed quiet-window numbers stand.",
+        "degraded (e.g. most of the round-5 session, BENCH/host_probe_r5.json:",
+        "single-stream triad 0.35-2.25 GB/s across all core ranges vs ~7-11",
+        "in quiet windows, with internally inconsistent level aggregates) —",
+        "re-measuring then would conflate tenant noise with engine behavior.",
+        "The committed numbers come from a verified quiet window",
+        "(single-stream triad ~11 GB/s, load < 2 at refresh time,",
+        "2026-08-17); roofline and scaling were refreshed back-to-back in",
+        "that window so they describe the same host state.",
         "",
-        "On this virtualized single-socket host, even EMBARRASSINGLY",
-        f"PARALLEL, shared-nothing work cannot scale {lo}→{hi} cleanly",
-        "(ALU row — hypervisor/turbo clock effects), the DRAM bus is at or",
-        f"near saturation already at {lo} cores (triad row), and the bare",
-        "encode kernel — no Spark, no shared state, just N processes — is",
-        f"itself capped well below 1.0 at {lo}→{hi}. The full Spark job's",
-        f"{lo}→{hi} number therefore measures the host, not the engine.",
-        "Additional controls run during development: python-worker",
-        "CPU-second accounting shows identical work costing ~1.5× more",
-        "CPU-seconds at 32 active cores (memory-stall cycle inflation;",
-        "cores pegged, hypervisor steal = 0, no iowait), and running the",
-        "4N side as FOUR independent pinned local[8] JVMs on disjoint",
-        "key-quarters is SLOWER than one local[32] — ruling out",
+        "On this virtualized single-socket host the DRAM bus does not just",
+        f"saturate {lo}→{hi} — aggregate STREAM bandwidth at {hi}",
+        f"concurrent streams is LOWER than at {lo} (triad eff {tri_hi};",
+        "reproducible, best-of-3 interleaved rounds, seen in every round-4",
+        "and round-5 window). Compute-side roofs fare better but still cap",
+        f"below 1.0 (ALU {alu_hi}, bare encode kernel {ker_hi}; the kernel",
+        "roof itself swings 0.61-0.89 across quiet windows — it is a host",
+        "property, not an engine one). The full Spark job mixes the",
+        "cache-resident kernel with DRAM-heavy work the bare kernel never",
+        "pays — parquet scan, Arrow transfer, shuffle write — so its",
+        f"{lo}→{hi} number lands between the collapsed DRAM roof and the",
+        "compute roof, weighted by that traffic mix: it measures the host,",
+        "not the engine. Additional controls run during development:",
+        "python-worker CPU-second accounting shows identical work costing",
+        "~1.5× more CPU-seconds at 32 active cores (memory-stall cycle",
+        "inflation; cores pegged, hypervisor steal = 0, no iowait), and",
+        "running the 4N side as FOUR independent pinned local[8] JVMs on",
+        "disjoint key-quarters is SLOWER than one local[32] — ruling out",
         "single-JVM/Spark-architecture contention.",
         "",
         f"Separate executor HOSTS each bring their own memory bus, clock",
@@ -485,17 +496,17 @@ def write_scaling_md(s: dict, sf_dir: str) -> None:
         "capacity (fully busy); 32 cores = py 0.52 / jvm 0.29 / idle",
         "0.19 — and the SAME work costs +40% python CPU-seconds and +70%",
         "JVM CPU-seconds at 32 active cores than at 8 (memory-stall cycle",
-        "inflation on the saturated DRAM bus; cores pegged, steal 0).",
-        "That inflation (the triad row above collapses to 0.078) plus the",
-        "19% idle tail IS the 8→32 gap: the job's 0.523 is ~74% of what",
-        "even the bare shared-nothing kernel achieves (0.705) on this",
-        "host pair.",
+        "inflation on the saturated DRAM bus; cores pegged, steal 0;",
+        "round-4 profile, shape stable across windows). That inflation",
+        f"(the triad row above collapses to {tri_hi}) plus the ~19% idle",
+        f"tail IS the {lo}→{hi} gap.",
         "",
         "## Round-4 residual-chasing attempts (verdict r3 item 8)",
         "",
-        "Three attempts at the 32-core residual (job 0.523 vs bare kernel",
-        "0.705 on the 8→32 pair), all pinned `taskset -c 0-31`, REP=96",
-        "input (6.04B points), best-of-2, same day as a 5.38s baseline:",
+        "Three attempts at the 32-core residual (round-4 readings: job",
+        "0.523 vs bare kernel 0.705 on the 8→32 pair), all pinned",
+        "`taskset -c 0-31`, REP=96 input (6.04B points), best-of-2,",
+        "same day as a 5.38s baseline:",
         "",
         "| variant | wall sec | vs baseline |",
         "|---|---|---|",
