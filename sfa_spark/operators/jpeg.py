@@ -1,33 +1,47 @@
-"""Pure-stdlib baseline JPEG (SOF0) codec for the multimodal decode seam.
+"""Pure-stdlib JPEG codec (baseline SOF0/SOF1 + progressive SOF2) for
+the multimodal decode seam.
 
 JPEG is the dominant web image format; the container bundles no image
 library, so — like the PNG module — this implements the PUBLIC spec
-(ITU-T T.81 / ISO 10918-1 baseline sequential DCT, JFIF color) from
-scratch with numpy: marker/segment parsing, DQT/DHT table decoding,
-canonical Huffman entropy decode (DC predictors, AC run-length, byte
-destuffing, restart markers), batched 8×8 IDCT via the orthonormal
-DCT-II matrix (one einsum over all blocks), floor-scaled chroma
-upsampling, and BT.601 full-range YCbCr→RGB. Supported: 8-bit baseline
-(SOF0), greyscale or 3-component YCbCr with any H/V sampling factors
-(4:4:4, 4:2:0, 4:2:2, …), optional restart intervals. Progressive
-(SOF2), arithmetic coding, 12-bit, and CMYK raise NotImplementedError —
-the injection seam stays open for them.
+(ITU-T T.81 / ISO 10918-1, JFIF color) from scratch with numpy:
+marker/segment parsing, DQT/DHT table decoding, canonical Huffman
+entropy decode (DC predictors, AC run-length, byte destuffing, restart
+markers), batched 8×8 IDCT via the orthonormal DCT-II matrix (one
+einsum over all blocks), floor-scaled chroma upsampling, and BT.601
+full-range YCbCr→RGB. Supported: 8-bit baseline-sequential (SOF0, and
+SOF1 extended-sequential, single- or multi-scan, interleaved or not)
+and 8-bit PROGRESSIVE (SOF2: spectral selection + successive
+approximation, T.81 Annex G — DC first/refine, AC first/refine with
+EOB-run decoding, per-scan restart intervals; truncated progressive
+streams decode to whatever scans arrived, matching browser behavior),
+greyscale or 3-component YCbCr with any H/V sampling factors (4:4:4,
+4:2:0, 4:2:2, …). Arithmetic coding, 12-bit, hierarchical, lossless,
+and CMYK raise NotImplementedError — the injection seam stays open for
+them.
 
 The encoder exists for fixtures and round-trip tests: it emits valid
-self-describing baseline JPEGs (its quant + Huffman tables travel in
-DQT/DHT, so any compliant decoder can read them) using simple canonical
-single-length Huffman tables — correctness over compression.
+self-describing baseline OR progressive JPEGs (its quant + Huffman
+tables travel in DQT/DHT, so any compliant decoder can read them)
+using simple canonical single-length Huffman tables — correctness over
+compression. ``progressive=True`` uses the standard scan script shape
+(interleaved DC first + DC refine, then per-component AC first + AC
+refine) with per-block EOB runs; a fully-refined progressive encoding
+carries EXACTLY the same quantized coefficients as the sequential
+encoding, so the two must decode bit-identically — the round-trip
+parity oracle the tests pin.
 
-Scale note: entropy decode collects sparse (block, k, value) triples in
-plain Python and defers scatter/dequantize/dezigzag/IDCT to one
-whole-array pass per component, and reads the bitstream through a
-flat-table reader (one list lookup per Huffman symbol over precomputed
-16-bit windows — ``_FastBitReader``; micro-bench-gated ≥2× over the
-per-bit reference reader, which remains as the parity oracle; ~2.4×
-measured, and the sparse restructure sped BOTH paths another ~2×). The
-per-SYMBOL Python loop that remains is inherent to Huffman's sequential
-dependency.
-"""
+Scale note: the hot single-scan baseline path collects sparse
+(block, k, value) triples in plain Python and defers scatter/
+dequantize/dezigzag/IDCT to one whole-array pass per component, and
+reads the bitstream through a flat-table reader (one list lookup per
+Huffman symbol over precomputed 16-bit windows — ``_FastBitReader``;
+micro-bench-gated ≥2× over the per-bit reference reader, which remains
+as the parity oracle; ~2.4× measured). The per-SYMBOL Python loop that
+remains is inherent to Huffman's sequential dependency. Multi-scan and
+progressive files go through the generic dense-coefficient scan
+decoder instead (refinement is per-coefficient sequential by
+construction); it shares the flat-table reader and the one-pass
+reconstruction."""
 
 from __future__ import annotations
 
@@ -262,37 +276,286 @@ def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
         elif m == 0xFF:
             pos += 1  # fill byte
         else:
-            break  # next marker segment (multi-scan not supported)
+            break  # next marker segment (subsequent SOS / EOI — caller's)
     segs.append(bytes(cur))
     return segs, pos
 
 
+def _decode_scan_sparse(segs, scomps, comps, restart_interval, mcux, mcuy, fast):
+    """The hot path: ONE interleaved sequential scan covering all
+    components (the overwhelming majority of web JPEGs) decoded to
+    SPARSE (block, zigzag-k, value) triples accumulated in plain Python
+    lists — the per-symbol loop touches no numpy at all; scatter +
+    dequantize + dezigzag + IDCT happen once per component as
+    whole-array ops (per-block numpy dispatch was the decode bottleneck
+    after the reader went table-driven)."""
+    sp_b: list[list[int]] = [[] for _ in comps]
+    sp_k: list[list[int]] = [[] for _ in comps]
+    sp_v: list[list[int]] = [[] for _ in comps]
+    mk_reader = _FastBitReader if fast else _BitReader
+
+    def huffd(rd, tables) -> int:
+        return rd.huff(tables["flat"]) if fast else _huff_decode(rd, tables["dict"])
+
+    seg_i = 0
+    br = mk_reader(segs[0])
+    preds = [0] * len(scomps)
+    for mcu in range(mcux * mcuy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_i += 1
+            br = mk_reader(segs[seg_i])
+            preds = [0] * len(scomps)
+        my, mx = divmod(mcu, mcux)
+        for si, (ci, dc_t, ac_t) in enumerate(scomps):
+            comp = comps[ci]
+            bx_per_row = mcux * comp["h"]
+            eb, ek, ev = sp_b[ci], sp_k[ci], sp_v[ci]
+            for by in range(comp["v"]):
+                for bx in range(comp["h"]):
+                    bpos = (my * comp["v"] + by) * bx_per_row + (mx * comp["h"] + bx)
+                    t = huffd(br, dc_t)
+                    diff = _extend(br.read_bits(t), t) if t else 0
+                    preds[si] += diff
+                    if preds[si]:
+                        eb.append(bpos)
+                        ek.append(0)
+                        ev.append(preds[si])
+                    k = 1
+                    while k < 64:
+                        rs = huffd(br, ac_t)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        eb.append(bpos)
+                        ek.append(k)
+                        ev.append(_extend(br.read_bits(s), s))
+                        k += 1
+    return sp_b, sp_k, sp_v
+
+
+def _decode_scan_generic(
+    segs,
+    scomps,
+    ss,
+    se,
+    ah,
+    al,
+    comps,
+    coefs,
+    restart_interval,
+    mcux,
+    mcuy,
+    hmax,
+    vmax,
+    h_img,
+    w_img,
+    fast,
+    progressive,
+):
+    """One sequential-or-progressive scan decoded into the dense
+    per-component ZIGZAG-order coefficient arrays (T.81 Annex F/G
+    semantics: DC first/refine, AC first with EOB runs, AC refinement
+    with correction bits — the successive-approximation decision trees
+    mirror the public spec exactly). Handles interleaved (MCU-order)
+    and single-component (component-raster, own block dims) scans,
+    restart intervals (DC predictors AND the EOB run reset), and
+    baseline multi-scan files (a sequential scan is the degenerate
+    Ss=0, Se=63, Ah=Al=0 case of the same decision trees).
+
+    Refinement scans mutate one plain-Python list per block (numpy
+    scalar writes would dominate at these sizes)."""
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive JPEG scan mixes DC and AC")
+        if ss > 0 and len(scomps) != 1:
+            raise ValueError("progressive JPEG AC scan must be single-component")
+    mk_reader = _FastBitReader if fast else _BitReader
+
+    def sym(rd, tables) -> int:
+        return rd.huff(tables["flat"]) if fast else _huff_decode(rd, tables["dict"])
+
+    p1 = 1 << al
+    interleaved = len(scomps) > 1
+    if interleaved:
+        nunits = mcux * mcuy
+    else:
+        ci0 = scomps[0][0]
+        comp0 = comps[ci0]
+        # non-interleaved scans traverse the component's OWN block grid
+        # (ceil of its scaled sample dims), not the MCU-padded grid
+        cw = -(-w_img * comp0["h"] // hmax)
+        ch = -(-h_img * comp0["v"] // vmax)
+        ubw = -(-cw // 8)
+        nunits = ubw * (-(-ch // 8))
+        stride0 = mcux * comp0["h"]
+
+    seg_i = 0
+    rd = mk_reader(segs[0])
+    preds = [0] * len(scomps)
+    eobrun = 0
+
+    for u in range(nunits):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_i += 1
+            rd = mk_reader(segs[seg_i])
+            preds = [0] * len(scomps)
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(u, mcux)
+            blocks = []
+            for si, (ci, _, _) in enumerate(scomps):
+                comp = comps[ci]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        blocks.append(
+                            (
+                                si,
+                                (my * comp["v"] + by) * (mcux * comp["h"])
+                                + (mx * comp["h"] + bx),
+                            )
+                        )
+        else:
+            bry, brx = divmod(u, ubw)
+            blocks = [(0, bry * stride0 + brx)]
+        for si, bpos in blocks:
+            ci, dc_t, ac_t = scomps[si]
+            arr = coefs[ci]
+            if ss == 0:
+                if ah == 0:  # DC first (or the DC half of a sequential scan)
+                    if dc_t is None:
+                        raise ValueError("JPEG scan missing its DC Huffman table")
+                    t = sym(rd, dc_t)
+                    diff = _extend(rd.read_bits(t), t) if t else 0
+                    preds[si] += diff
+                    arr[bpos, 0] = preds[si] << al
+                else:  # DC refine: one raw bit per block
+                    if rd.read_bits(1):
+                        arr[bpos, 0] |= p1
+            if se == 0:
+                continue
+            if ac_t is None:
+                raise ValueError("JPEG scan missing its AC Huffman table")
+            k0 = ss if ss > 0 else 1
+            if ah == 0:  # AC first (EOB runs; sequential AC is the r=0 case)
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = k0
+                while k <= se:
+                    rs = sym(rd, ac_t)
+                    r, s = rs >> 4, rs & 15
+                    if s:
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC run past end of band")
+                        arr[bpos, k] = _extend(rd.read_bits(s), s) << al
+                        k += 1
+                    else:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += rd.read_bits(r)
+                            break
+                        k += 16  # ZRL
+            else:  # AC refinement: correction bits + newly-nonzero ±1·2^Al
+                row = arr[bpos].tolist()
+                k = k0
+                if eobrun == 0:
+                    while k <= se:
+                        rs = sym(rd, ac_t)
+                        r, s = rs >> 4, rs & 15
+                        val = 0
+                        if s:
+                            # refinement codes magnitude 1 only; next bit
+                            # is the sign of the newly-nonzero coefficient
+                            val = p1 if rd.read_bits(1) else -p1
+                        elif r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += rd.read_bits(r)
+                            break
+                        # advance: correct nonzero-history coefficients
+                        # (one bit each), consume r zero-history slots,
+                        # land on the newly-nonzero target (or run out)
+                        while k <= se:
+                            c = row[k]
+                            if c:
+                                if rd.read_bits(1) and (c & p1) == 0:
+                                    row[k] = c + (p1 if c >= 0 else -p1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            row[k] = val
+                        k += 1
+                if eobrun > 0:
+                    # EOB run covers this block's tail: nonzero-history
+                    # coefficients still carry one correction bit each
+                    while k <= se:
+                        c = row[k]
+                        if c and rd.read_bits(1) and (c & p1) == 0:
+                            row[k] = c + (p1 if c >= 0 else -p1)
+                        k += 1
+                    eobrun -= 1
+                arr[bpos] = row
+
+
 def decode_jpeg(payload: bytes, meta=None, fast: bool = True) -> np.ndarray:
-    """Decode a baseline-sequential (SOF0) JPEG to (h, w, c) uint8.
+    """Decode a JPEG (baseline SOF0/SOF1, multi-scan sequential, or
+    progressive SOF2) to (h, w, c) uint8.
 
     Signature matches the multimodal ``decoder(payload, meta)`` seam
-    (meta ignored — the SOF0 header is authoritative). Raises
-    ValueError for non-JPEG payloads and NotImplementedError for
-    non-baseline variants, so callers can fall back. ``fast`` selects
-    the flat-table entropy reader (default); ``fast=False`` keeps the
-    per-bit reference reader — identical output, used as the parity
-    oracle in tests."""
+    (meta ignored — the SOF header is authoritative). Raises ValueError
+    for non-JPEG payloads and NotImplementedError for unsupported
+    coding processes (arithmetic, 12-bit, hierarchical, lossless,
+    CMYK), so callers can fall back. ``fast`` selects the flat-table
+    entropy reader (default); ``fast=False`` keeps the per-bit
+    reference reader — identical output, used as the parity oracle in
+    tests. A progressive stream truncated AFTER at least one complete
+    scan decodes to the refinement level that arrived (browser
+    behavior); truncation inside the first scan raises ValueError."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
     frame = None
+    progressive = False
     restart_interval = 0
     pos = 2
     n = len(payload)
-    scan = None
+    sparse = None  # fast-path result: (sp_b, sp_k, sp_v)
+    coefs = None  # generic-path dense zigzag coefficient arrays
+    geom = None
+    scans_done = 0
     while pos < n:
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            pos += 1
+            continue
         if marker == 0xD9:
             break
-        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # stray RSTn / TEM
+            pos += 2
+            continue
+        if pos + 4 > n or pos + 2 + 2 > n:
+            seglen = None
+        else:
+            (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if seglen is None or pos + 2 + seglen > n:
+            # stream ends inside a marker segment: truncation. With at
+            # least one complete scan, decode what arrived (browser
+            # behavior); else nothing is usable.
+            if scans_done > 0:
+                break
+            raise ValueError("truncated JPEG marker segment")
         body = payload[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
         if marker == 0xDB:  # DQT
@@ -319,107 +582,110 @@ def decode_jpeg(payload: bytes, meta=None, fast: bool = True) -> np.ndarray:
                     "flat": _flat_table(bits, vals),
                 }
                 i += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h_img, w_img, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
-                raise NotImplementedError("only 8-bit baseline JPEG supported")
+                raise NotImplementedError("only 8-bit JPEG supported")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = (h_img, w_img, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported"
+                f"unsupported JPEG coding process (SOF{marker - 0xC0})"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode this scan's entropy data now
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            h_img, w_img, comps = frame
+            if len(comps) not in (1, 3):
+                raise NotImplementedError("only greyscale / YCbCr JPEG supported")
             ns = body[0]
-            scan = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
-            break
-        # APPn / COM / others: skipped
-    if frame is None or scan is None:
-        raise ValueError("JPEG missing SOF0/SOS")
-    h_img, w_img, comps = frame
-    if len(comps) not in (1, 3):
-        raise NotImplementedError("only greyscale / YCbCr JPEG supported")
-    if len(scan) != len(comps):
-        # spec-legal non-interleaved multi-scan baseline (first SOS a
-        # component subset) — out of scope for this single-scan decoder
-        raise NotImplementedError("multi-scan baseline JPEG unsupported")
-
-    segs, _ = _entropy_segments(payload, pos)
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w_img // (8 * hmax))
-    mcuy = -(-h_img // (8 * vmax))
-
-    # per component: SPARSE coefficient triples (block, zigzag-k, value)
-    # accumulated in plain Python lists — the per-symbol loop touches no
-    # numpy at all; scatter + dequantize + dezigzag + IDCT happen ONCE
-    # per component as whole-array ops (per-block numpy dispatch was the
-    # decode bottleneck after the reader went table-driven)
-    sp_b: list[list[int]] = [[] for _ in comps]
-    sp_k: list[list[int]] = [[] for _ in comps]
-    sp_v: list[list[int]] = [[] for _ in comps]
-    tbl_for = {}
-    for (cid, tdta), comp in zip(scan, comps):
-        if cid != comp["id"]:
-            # the MCU interleave below follows SOF order; a scan ordered
-            # differently would need reordered decode — out of scope
-            raise NotImplementedError("SOS component order differs from SOF")
-        tbl_for[cid] = (huff[(0, tdta >> 4)], huff[(1, tdta & 15)])
-
-    mk_reader = _FastBitReader if fast else _BitReader
-
-    def huffd(rd, tables) -> int:
-        return rd.huff(tables["flat"]) if fast else _huff_decode(rd, tables["dict"])
-
-    seg_i = 0
-    br = mk_reader(segs[0])
-    preds = [0] * len(comps)
-    for mcu in range(mcux * mcuy):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            seg_i += 1
-            br = mk_reader(segs[seg_i])
-            preds = [0] * len(comps)
-        my, mx = divmod(mcu, mcux)
-        for ci, comp in enumerate(comps):
-            dc_t, ac_t = tbl_for[comp["id"]]
-            bx_per_row = mcux * comp["h"]
-            eb, ek, ev = sp_b[ci], sp_k[ci], sp_v[ci]
-            for by in range(comp["v"]):
-                for bx in range(comp["h"]):
-                    bpos = (my * comp["v"] + by) * bx_per_row + (mx * comp["h"] + bx)
-                    t = huffd(br, dc_t)
-                    diff = _extend(br.read_bits(t), t) if t else 0
-                    preds[ci] += diff
-                    if preds[ci]:
-                        eb.append(bpos)
-                        ek.append(0)
-                        ev.append(preds[ci])
-                    k = 1
-                    while k < 64:
-                        rs = huffd(br, ac_t)
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        eb.append(bpos)
-                        ek.append(k)
-                        ev.append(_extend(br.read_bits(s), s))
-                        k += 1
+            sel = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            ah, al = a >> 4, a & 15
+            cid_to_ix = {c["id"]: i for i, c in enumerate(comps)}
+            try:
+                # scan components in SCAN order (the bitstream's
+                # interleave follows the scan header, not SOF)
+                scomps = [
+                    (cid_to_ix[cid], huff.get((0, t >> 4)), huff.get((1, t & 15)))
+                    for cid, t in sel
+                ]
+            except KeyError:
+                raise ValueError("JPEG scan references unknown component")
+            segs, pos = _entropy_segments(payload, pos)
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w_img // (8 * hmax))
+            mcuy = -(-h_img // (8 * vmax))
+            geom = (h_img, w_img, comps, hmax, vmax, mcux, mcuy)
+            if (
+                not progressive
+                and coefs is None
+                and scans_done == 0
+                and (ss, se, ah, al) == (0, 63, 0, 0)
+                and [comps[ci]["id"] for ci, _, _ in scomps]
+                == [c["id"] for c in comps]
+            ):
+                for _, dc_t, ac_t in scomps:
+                    if dc_t is None or ac_t is None:
+                        raise ValueError("JPEG scan missing a Huffman table")
+                sparse = _decode_scan_sparse(
+                    segs, scomps, comps, restart_interval, mcux, mcuy, fast
+                )
+            else:
+                if sparse is not None:
+                    raise ValueError("JPEG re-codes a completed sequential scan")
+                if coefs is None:
+                    coefs = [
+                        np.zeros(
+                            (mcuy * c["v"] * mcux * c["h"], 64), dtype=np.int64
+                        )
+                        for c in comps
+                    ]
+                try:
+                    _decode_scan_generic(
+                        segs, scomps, ss, se, ah, al, comps, coefs,
+                        restart_interval, mcux, mcuy, hmax, vmax,
+                        h_img, w_img, fast, progressive,
+                    )
+                except (IndexError, ValueError):
+                    # IndexError: entropy data ran out mid-scan.
+                    # ValueError with the stream ended: the cut landed
+                    # mid-byte and the 1-padding decoded as a bogus
+                    # symbol. Both mean truncation — with at least one
+                    # complete prior scan, decode what arrived (browser
+                    # behavior); else it's unusable. A bad symbol with
+                    # MORE data following is real corruption: re-raise.
+                    if scans_done == 0:
+                        raise ValueError("truncated JPEG entropy data")
+                    if pos < n:
+                        raise
+                    break
+            scans_done += 1
+        # APPn / COM / DNL / others: skipped
+    if geom is None or (sparse is None and coefs is None):
+        raise ValueError("JPEG missing SOF/SOS")
+    h_img, w_img, comps, hmax, vmax, mcux, mcuy = geom
 
     planes = []
     for ci, comp in enumerate(comps):
         by, bx = mcuy * comp["v"], mcux * comp["h"]
-        zzmat = np.zeros((by * bx, 64), dtype=np.float64)
-        if sp_b[ci]:
-            zzmat[sp_b[ci], sp_k[ci]] = sp_v[ci]
+        if sparse is not None:
+            sp_b, sp_k, sp_v = sparse
+            zzmat = np.zeros((by * bx, 64), dtype=np.float64)
+            if sp_b[ci]:
+                zzmat[sp_b[ci], sp_k[ci]] = sp_v[ci]
+        else:
+            zzmat = coefs[ci].astype(np.float64)
+        if comp["tq"] not in qt:
+            raise ValueError("JPEG missing quantization table")
         zzmat *= qt[comp["tq"]][None, :]  # dequantize (zigzag order)
         flat = np.zeros((by * bx, 64), dtype=np.float64)
         flat[:, _ZZ] = zzmat  # dezigzag every block at once
@@ -516,18 +782,175 @@ def _encode_plane_blocks(plane: np.ndarray, q_zz: np.ndarray) -> np.ndarray:
     return np.round(zz / q_zz[None, :]).astype(np.int64)
 
 
+def _emit_ac_first(bw: _BitWriter, zz, k0: int, se: int, al: int, ac_codes) -> None:
+    """AC coefficients of one block, first pass (T.81 G.1.2.2): the AC
+    point transform is a magnitude shift (toward zero); per-block EOB0
+    terminates the band (this encoder never accumulates EOB runs —
+    spec-valid, simpler, and what the per-block decoder exercises
+    hardest). Sequential AC encoding is the al=0 case."""
+    r = 0
+    for k in range(k0, se + 1):
+        v = int(zz[k])
+        av = (v if v >= 0 else -v) >> al
+        if av == 0:
+            r += 1
+            continue
+        while r > 15:
+            c, ln = ac_codes[0xF0]
+            bw.write(c, ln)
+            r -= 16
+        s = av.bit_length()
+        c, ln = ac_codes[(r << 4) | s]
+        bw.write(c, ln)
+        bw.write(av if v > 0 else (av ^ ((1 << s) - 1)), s)
+        r = 0
+    if r:
+        c, ln = ac_codes[0x00]
+        bw.write(c, ln)
+
+
+def _emit_ac_refine(bw: _BitWriter, zz, k0: int, se: int, al: int, ac_codes) -> None:
+    """AC refinement pass (T.81 G.1.2.3): newly-nonzero coefficients
+    (shifted magnitude exactly 1) are coded as run/1 + sign; previously
+    nonzero coefficients contribute one buffered correction bit each,
+    flushed after the NEXT emitted symbol (ZRL, run/1, or the final
+    EOB) — mirroring the decoder's walk order exactly. ZRLs are
+    suppressed past the last newly-nonzero coefficient (the tail folds
+    into EOB)."""
+    absv = [0] * (se + 1)
+    eobpos = k0 - 1
+    for k in range(k0, se + 1):
+        v = int(zz[k])
+        a = (v if v >= 0 else -v) >> al
+        absv[k] = a
+        if a == 1:
+            eobpos = k
+    r = 0
+    buf: list[int] = []
+    for k in range(k0, se + 1):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eobpos:
+            c, ln = ac_codes[0xF0]
+            bw.write(c, ln)
+            r -= 16
+            for b in buf:
+                bw.write(b, 1)
+            buf = []
+        if t > 1:
+            buf.append(t & 1)
+            continue
+        c, ln = ac_codes[(r << 4) | 1]
+        bw.write(c, ln)
+        bw.write(1 if int(zz[k]) >= 0 else 0, 1)
+        for b in buf:
+            bw.write(b, 1)
+        buf = []
+        r = 0
+    if r or buf:
+        c, ln = ac_codes[0x00]
+        bw.write(c, ln)
+        for b in buf:
+            bw.write(b, 1)
+
+
+def _emit_scan(
+    sc: tuple,
+    comp_blocks: list,
+    samp: list,
+    mcux: int,
+    mcuy: int,
+    dc_codes,
+    ac_codes,
+    restart_interval: int,
+    h_img: int,
+    w_img: int,
+) -> bytes:
+    """Entropy-code one scan (sequential or progressive band/pass) in
+    the same unit order the decoder walks: MCU order when interleaved,
+    the component's own block raster when single-component."""
+    comp_ixs, ss, se, ah, al = sc
+    bw = _BitWriter()
+    preds = [0] * len(comp_ixs)
+    interleaved = len(comp_ixs) > 1
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    if interleaved:
+        nunits = mcux * mcuy
+    else:
+        ci0 = comp_ixs[0]
+        sh0, sv0 = samp[ci0]
+        cw = -(-w_img * sh0 // hmax)
+        ch = -(-h_img * sv0 // vmax)
+        ubw = -(-cw // 8)
+        nunits = ubw * (-(-ch // 8))
+        stride0 = mcux * sh0
+    rst = 0
+    for u in range(nunits):
+        if restart_interval and u and u % restart_interval == 0:
+            bw.pad_to_byte()
+            bw.raw_marker(bytes([0xFF, 0xD0 + (rst % 8)]))
+            rst += 1
+            preds = [0] * len(comp_ixs)
+        if interleaved:
+            my, mx = divmod(u, mcux)
+            blocks = []
+            for si, ci in enumerate(comp_ixs):
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        blocks.append(
+                            (si, ci, (my * sv + by) * (mcux * sh) + (mx * sh + bx))
+                        )
+        else:
+            bry, brx = divmod(u, ubw)
+            blocks = [(0, comp_ixs[0], bry * stride0 + brx)]
+        for si, ci, bi in blocks:
+            zz = comp_blocks[ci][bi]
+            if ss == 0:
+                v0 = int(zz[0])
+                if ah == 0:
+                    # DC point transform is an ARITHMETIC right shift
+                    v = v0 >> al
+                    diff = v - preds[si]
+                    preds[si] = v
+                    t = _category(diff)
+                    code, ln = dc_codes[t]
+                    bw.write(code, ln)
+                    if t:
+                        bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+                else:
+                    bw.write((v0 >> al) & 1, 1)  # DC refine: raw bit Al
+            if se == 0:
+                continue
+            k0 = ss if ss > 0 else 1
+            if ah == 0:
+                _emit_ac_first(bw, zz, k0, se, al, ac_codes)
+            else:
+                _emit_ac_refine(bw, zz, k0, se, al, ac_codes)
+    return bw.flush()
+
+
 def encode_jpeg(
     img: np.ndarray,
     quality: int = 85,
     subsampling: str = "4:4:4",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Encode (h, w)/(h, w, 1) grey or (h, w, 3) RGB uint8 → baseline
-    JPEG bytes. Valid and self-describing (tables in DQT/DHT); used for
+    """Encode (h, w)/(h, w, 1) grey or (h, w, 3) RGB uint8 → JPEG
+    bytes. Valid and self-describing (tables in DQT/DHT); used for
     fixtures and round-trip tests, not optimized for ratio.
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
     that many MCUs (DC predictors reset) — real web JPEGs use restarts,
-    and this exercises the decoder's segment-split path."""
+    and this exercises the decoder's segment-split path.
+    ``progressive=True`` emits SOF2 with the standard scan-script shape
+    (interleaved DC first at Al=1 + DC refine, then per-component AC
+    first at Al=1 + AC refine): the fully-refined stream carries
+    EXACTLY the same quantized coefficients as the sequential encoding,
+    so both must decode bit-identically — the parity oracle."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -578,50 +1001,24 @@ def encode_jpeg(
 
     dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
     ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
-    bw = _BitWriter()
-    preds = [0] * nc
-    for mcu in range(mcux * mcuy):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            bw.pad_to_byte()
-            bw.raw_marker(
-                bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
-            )
-            preds = [0] * nc
-        my, mx = divmod(mcu, mcux)
-        for ci, (sh, sv) in enumerate(samp):
-            bx_per_row = mcux * sh
-            for by in range(sv):
-                for bx in range(sh):
-                    bi = (my * sv + by) * bx_per_row + (mx * sh + bx)
-                    zz = comp_blocks[ci][bi]
-                    diff = int(zz[0]) - preds[ci]
-                    preds[ci] = int(zz[0])
-                    t = _category(diff)
-                    code, ln = dc_codes[t]
-                    bw.write(code, ln)
-                    if t:
-                        bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
-                    run = 0
-                    nz = np.flatnonzero(zz[1:])
-                    last = nz[-1] + 1 if nz.size else 0
-                    for k in range(1, last + 1):
-                        v = int(zz[k])
-                        if v == 0:
-                            run += 1
-                            continue
-                        while run > 15:
-                            c, ln = ac_codes[0xF0]
-                            bw.write(c, ln)
-                            run -= 16
-                        s = _category(v)
-                        c, ln = ac_codes[(run << 4) | s]
-                        bw.write(c, ln)
-                        bw.write(v if v > 0 else v + (1 << s) - 1, s)
-                        run = 0
-                    if last < 63:
-                        c, ln = ac_codes[0x00]
-                        bw.write(c, ln)
-    entropy = bw.flush()
+
+    if progressive:
+        all_c = list(range(nc))
+        script = [(all_c, 0, 0, 0, 1), (all_c, 0, 0, 1, 0)]
+        script += [([ci], 1, 63, 0, 1) for ci in range(nc)]
+        script += [([ci], 1, 63, 1, 0) for ci in range(nc)]
+    else:
+        script = [(list(range(nc)), 0, 63, 0, 0)]
+    scans = [
+        (
+            sc,
+            _emit_scan(
+                sc, comp_blocks, samp, mcux, mcuy,
+                dc_codes, ac_codes, restart_interval, h_img, w_img,
+            ),
+        )
+        for sc in script
+    ]
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -633,19 +1030,20 @@ def encode_jpeg(
     sof = struct.pack(">BHHB", 8, h_img, w_img, nc)
     for ci, (sh, sv) in enumerate(samp):
         sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
-    out += seg(0xC0, sof)
+    out += seg(0xC2 if progressive else 0xC0, sof)
     for tc in (0, 1):
         bits, vals = (
             (_ENC_DC_BITS, _ENC_DC_VALS) if tc == 0 else (_ENC_AC_BITS, _ENC_AC_VALS)
         )
         out += seg(0xC4, bytes([tc << 4]) + bytes(bits) + bytes(vals))
-    sos = bytes([nc])
-    for ci in range(nc):
-        sos += bytes([ci + 1, 0x00])
-    sos += bytes([0, 63, 0])
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    out += seg(0xDA, sos)
-    out += entropy
+    for (comp_ixs, ss, se, ah, al), entropy in scans:
+        sos = bytes([len(comp_ixs)])
+        for ci in comp_ixs:
+            sos += bytes([ci + 1, 0x00])  # DC table 0 / AC table 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        out += entropy
     out += b"\xff\xd9"
     return bytes(out)

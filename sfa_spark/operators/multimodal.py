@@ -36,11 +36,12 @@ def not_implemented_decoder(payload: bytes, meta) -> np.ndarray:
 
 def image_or_fake_decoder(payload: bytes, meta) -> np.ndarray:
     """Production-shaped decoder for mixed web corpora: PNG decodes via
-    the stdlib PNG path, baseline JPEG via the stdlib SOF0 path, and
-    anything else (progressive JPEG, WebP, GIF, …) falls back to the
-    deterministic fake so pipelines keep moving with rows flagged by
-    shape. This grows round 4's ``png_or_fake_decoder`` to cover the
-    two dominant web image formats with real decoders."""
+    the stdlib PNG path, JPEG — baseline SOF0/SOF1, multi-scan
+    sequential, AND progressive SOF2 — via the stdlib JPEG path, and
+    anything else (WebP, GIF, arithmetic-coded JPEG, …) falls back to
+    the deterministic fake so pipelines keep moving with rows flagged
+    by shape. This grows round 4's ``png_or_fake_decoder`` to cover the
+    dominant web image formats with real decoders."""
     import struct as _struct
     import zlib as _zlib
 

@@ -138,15 +138,165 @@ def test_fast_entropy_reader_matches_per_bit_reference_and_is_faster():
     assert t_ref / max(t_fast, 1e-9) >= 2.0, (t_ref, t_fast)
 
 
-def test_rejects_non_jpeg_and_progressive():
+def test_rejects_non_jpeg_and_unsupported_processes():
     with pytest.raises(ValueError):
         decode_jpeg(b"definitely not a jpeg")
-    # minimal SOI + SOF2 (progressive) header must raise NotImplementedError
     import struct
 
-    sof2 = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 8) + bytes(6)
+    # arithmetic-coded (SOF9) and lossless (SOF3) stay NotImplementedError
+    for sof_marker in (b"\xff\xc9", b"\xff\xc3"):
+        hdr = b"\xff\xd8" + sof_marker + struct.pack(">H", 8) + bytes(6)
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(hdr)
+    # 12-bit precision rejected even for supported processes
+    hdr12 = (
+        b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 8)
+        + struct.pack(">BHHB", 12, 8, 8, 1) + bytes(1)
+    )
     with pytest.raises(NotImplementedError):
-        decode_jpeg(sof2)
+        decode_jpeg(hdr12)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},  # grey handled below
+        {"subsampling": "4:4:4"},
+        {"subsampling": "4:2:0"},
+        {"subsampling": "4:2:2"},
+        {"subsampling": "4:2:0", "restart_interval": 2},
+        {"restart_interval": 3, "quality": 80},
+    ],
+)
+def test_progressive_decodes_bit_identical_to_sequential(kw):
+    """A fully-refined progressive (SOF2) stream carries exactly the
+    same quantized coefficients as the sequential encoding, so the two
+    must decode BIT-IDENTICALLY — grey and RGB, every subsampling, with
+    and without restart intervals, odd (non-multiple-of-16) dims."""
+    rng = np.random.default_rng(21)
+    if not kw:
+        img = rng.integers(0, 256, size=(19, 23), dtype=np.uint8)
+    else:
+        y, x = np.mgrid[0:37, 0:29]
+        img = np.stack(
+            [
+                (y * 4 + 20).clip(0, 255),
+                rng.integers(0, 256, size=(37, 29)),
+                ((x + y) * 3 + 40).clip(0, 255),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+    seq = decode_jpeg(encode_jpeg(img, **kw))
+    prog_bytes = encode_jpeg(img, progressive=True, **kw)
+    assert b"\xff\xc2" in prog_bytes  # SOF2 actually emitted
+    np.testing.assert_array_equal(decode_jpeg(prog_bytes), seq)
+    # the per-bit reference reader decodes progressive identically too
+    np.testing.assert_array_equal(decode_jpeg(prog_bytes, fast=False), seq)
+
+
+def test_progressive_truncation_decodes_partial_refinement():
+    """Progressive streams cut after at least one complete scan decode
+    to whatever refinement arrived (browser behavior): every cut point
+    past scan 1 yields an image; a cut inside the FIRST scan raises."""
+    y, x = np.mgrid[0:24, 0:24]
+    img = np.stack(
+        [(y * 6) % 256, (x * 6) % 256, ((x + y) * 4) % 256], axis=-1
+    ).astype(np.uint8)
+    prog = encode_jpeg(img, quality=85, progressive=True)
+    full = decode_jpeg(prog)
+    sos = [
+        i
+        for i in range(len(prog) - 1)
+        if prog[i] == 0xFF and prog[i + 1] == 0xDA
+    ]
+    assert len(sos) == 8  # DC first + DC refine + 3×(AC first) + 3×(AC refine)
+    # scan-boundary cut: decodes, and is coarser than the full image
+    part = decode_jpeg(prog[: sos[3]])
+    assert part.shape == full.shape
+    assert not np.array_equal(part, full)
+    # arbitrary cuts beyond the first scan always decode
+    for cut in range(sos[1], len(prog) - 2, 11):
+        got = decode_jpeg(prog[:cut])
+        assert got.shape == full.shape
+    # inside the first scan: unusable
+    with pytest.raises(ValueError):
+        decode_jpeg(prog[: sos[0] + 14])
+
+
+def test_multi_scan_baseline_decodes_like_interleaved():
+    """Spec-legal multi-scan BASELINE (one full sequential scan per
+    component, SOF0) — previously rejected — must decode exactly like
+    the interleaved single-scan encoding of the same coefficients."""
+    import struct
+
+    from sfa_spark.operators import jpeg as J
+
+    y, x = np.mgrid[0:21, 0:26]
+    img = np.stack(
+        [(y * 9) % 256, (x * 7) % 256, ((x * y) // 2) % 256], axis=-1
+    ).astype(np.uint8)
+    quality = 85
+    f = img.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    q_lum = J._scale_q(J._Q_LUM, quality)
+    q_chr = J._scale_q(J._Q_CHR, quality)
+    q_zz = [q_lum[J._ZZ], q_chr[J._ZZ], q_chr[J._ZZ]]
+    h_img, w_img = img.shape[:2]
+    mcux, mcuy = -(-w_img // 8), -(-h_img // 8)
+    comp_blocks = []
+    for ci in range(3):
+        p = planes[ci]
+        p = np.pad(
+            p,
+            ((0, mcuy * 8 - p.shape[0]), (0, mcux * 8 - p.shape[1])),
+            mode="edge",
+        )
+        comp_blocks.append(J._encode_plane_blocks(p - 128.0, q_zz[ci]))
+    dc = J._canonical_codes(J._ENC_DC_BITS, J._ENC_DC_VALS)
+    ac = J._canonical_codes(J._ENC_AC_BITS, J._ENC_AC_VALS)
+
+    def seg(m, body):
+        return bytes([0xFF, m]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(q_lum[J._ZZ].astype(np.uint8)))
+    out += seg(0xDB, bytes([0x01]) + bytes(q_chr[J._ZZ].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h_img, w_img, 3)
+    for ci in range(3):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    for tc in (0, 1):
+        bits, vals = (
+            (J._ENC_DC_BITS, J._ENC_DC_VALS)
+            if tc == 0
+            else (J._ENC_AC_BITS, J._ENC_AC_VALS)
+        )
+        out += seg(0xC4, bytes([tc << 4]) + bytes(bits) + bytes(vals))
+    for ci in range(3):
+        ent = J._emit_scan(
+            ([ci], 0, 63, 0, 0),
+            comp_blocks,
+            [(1, 1)] * 3,
+            mcux,
+            mcuy,
+            dc,
+            ac,
+            0,
+            h_img,
+            w_img,
+        )
+        out += seg(0xDA, bytes([1, ci + 1, 0x00, 0, 63, 0]))
+        out += ent
+    out += b"\xff\xd9"
+
+    got = decode_jpeg(bytes(out))
+    want = decode_jpeg(encode_jpeg(img, quality=quality))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_image_or_fake_decoder_dispatch():
