@@ -71,40 +71,75 @@ _PLANE = _plane_codes()
 
 
 class _Bits:
-    """LSB-first bit reader over bytes (VP8L convention)."""
+    """LSB-first bit reader over bytes (VP8L convention) with a
+    buffered accumulator so the flat-table symbol reader can peek a
+    whole code-length window in one mask (zero-padded past the end;
+    ``consume`` still errors on real truncation because only actual
+    stream bits count toward the buffer)."""
 
-    __slots__ = ("d", "pos", "n")
+    __slots__ = ("d", "nd", "bytepos", "acc", "nbits")
 
     def __init__(self, data: bytes):
         self.d = data
-        self.pos = 0
-        self.n = len(data) * 8
+        self.nd = len(data)
+        self.bytepos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self, need: int) -> None:
+        while self.nbits < need and self.bytepos < self.nd:
+            self.acc |= self.d[self.bytepos] << self.nbits
+            self.bytepos += 1
+            self.nbits += 8
 
     def read(self, nbits: int) -> int:
-        p = self.pos
-        if p + nbits > self.n:
-            raise ValueError("VP8L bitstream truncated")
-        v = 0
-        d = self.d
-        for i in range(nbits):
-            v |= ((d[(p + i) >> 3] >> ((p + i) & 7)) & 1) << i
-        self.pos = p + nbits
+        if self.nbits < nbits:
+            self._fill(nbits)
+            if self.nbits < nbits:
+                raise ValueError("VP8L bitstream truncated")
+        v = self.acc & ((1 << nbits) - 1)
+        self.acc >>= nbits
+        self.nbits -= nbits
         return v
+
+    def peek(self, nbits: int) -> int:
+        if self.nbits < nbits:
+            self._fill(nbits)
+        return self.acc & ((1 << nbits) - 1)
+
+    def consume(self, nbits: int) -> None:
+        if self.nbits < nbits:
+            raise ValueError("VP8L bitstream truncated")
+        self.acc >>= nbits
+        self.nbits -= nbits
+
+
+_MAX_CODE_LEN = 15  # VP8L caps prefix code lengths at 15 bits
+
+# flipped to False in tests to run the per-bit parity-oracle reader
+_FAST_TABLES = True
 
 
 def _build_tree(lengths: list[int]):
     """Canonical prefix code from code lengths → decode table.
 
-    Returns ('single', sym) for a one-symbol code (consumes 0 bits) or
-    (table, max_len) with table[(len, code)] = symbol, codes assigned
-    in increasing symbol order per length (DEFLATE canonical). Raises
-    on incomplete/oversubscribed codes."""
+    Returns ('single', sym) for a one-symbol code (consumes 0 bits);
+    otherwise ('flat', table, max_len) where table is a 2^max_len list
+    indexed by the NEXT max_len bits of the stream (LSB-first window,
+    so each canonical code is bit-reversed into every slot sharing its
+    prefix — one peek + one list index per symbol), entries packed as
+    (symbol << 4) | code_len; or the per-bit ('walk', dict, max_len)
+    parity-oracle form when ``_FAST_TABLES`` is off. Codes are
+    canonical in increasing symbol order per length (DEFLATE rule);
+    raises on incomplete/oversubscribed codes."""
     nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
     if not nz:
         raise ValueError("empty prefix code")
     if len(nz) == 1:
         return ("single", nz[0][1])
     max_len = max(l for l, _ in nz)
+    if max_len > _MAX_CODE_LEN:
+        raise ValueError("VP8L prefix code length exceeds 15")
     bl_count = [0] * (max_len + 1)
     for l, _ in nz:
         bl_count[l] += 1
@@ -115,18 +150,45 @@ def _build_tree(lengths: list[int]):
     for l in range(1, max_len + 1):
         code = (code + bl_count[l - 1]) << 1
         next_code[l] = code
-    table: dict[tuple[int, int], int] = {}
+    if not _FAST_TABLES:
+        table: dict[tuple[int, int], int] = {}
+        for sym, l in enumerate(lengths):
+            if l > 0:
+                table[(l, next_code[l])] = sym
+                next_code[l] += 1
+        return ("walk", table, max_len)
+    flat = [0] * (1 << max_len)
     for sym, l in enumerate(lengths):
         if l > 0:
-            table[(l, next_code[l])] = sym
+            c = next_code[l]
             next_code[l] += 1
-    return (table, max_len)
+            rev = 0
+            for i in range(l):
+                rev |= ((c >> i) & 1) << (l - 1 - i)
+            entry = (sym << 4) | l
+            step = 1 << l
+            for j in range(rev, 1 << max_len, step):
+                flat[j] = entry
+    return ("flat", flat, max_len)
+
+
+def _explicit_pair(s0: int, s1: int):
+    """Two-symbol simple code: first-read symbol gets bit 0 (explicit,
+    NOT canonical)."""
+    if _FAST_TABLES:
+        return ("flat", [(s0 << 4) | 1, (s1 << 4) | 1], 1)
+    return ("walk", {(1, 0): s0, (1, 1): s1}, 1)
 
 
 def _read_sym(br: _Bits, tree) -> int:
-    if tree[0] == "single":
+    kind = tree[0]
+    if kind == "single":
         return tree[1]
-    table, max_len = tree
+    if kind == "flat":
+        e = tree[1][br.peek(tree[2])]
+        br.consume(e & 15)
+        return e >> 4
+    table, max_len = tree[1], tree[2]
     code = 0
     for length in range(1, max_len + 1):
         code = (code << 1) | br.read(1)
@@ -183,8 +245,7 @@ def _read_prefix_code(br: _Bits, alphabet: int):
         s1 = br.read(8)
         if s1 >= alphabet:
             raise ValueError("VP8L simple-code symbol out of range")
-        # explicit codes: first-read symbol gets bit 0 (NOT canonical)
-        return ({(1, 0): s0, (1, 1): s1}, 1)
+        return _explicit_pair(s0, s1)
     cl_lengths = [0] * 19
     num_codes = br.read(4) + 4
     for i in range(num_codes):
