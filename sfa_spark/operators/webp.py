@@ -502,8 +502,9 @@ def _pred_forward(l: int, t: int, tl: int, tr: int, mode: int) -> int:
     return _PREDICTORS[mode](l, t, tl, tr)
 
 
-def _inv_predictor(img: np.ndarray, bits: int, sub: np.ndarray) -> np.ndarray:
-    """Sequential by definition: each pixel's prediction reads already-
+def _inv_predictor_ref(img: np.ndarray, bits: int, sub: np.ndarray) -> np.ndarray:
+    """Per-pixel reference inverse (parity oracle for the span-
+    vectorized path): each pixel's prediction reads already-
     reconstructed neighbors (top-right of the last column is the
     current row's first pixel — the spec's contiguous addressing)."""
     h, w = img.shape
@@ -525,6 +526,107 @@ def _inv_predictor(img: np.ndarray, bits: int, sub: np.ndarray) -> np.ndarray:
             pred = _pred_forward(l, t, tl, tr, modes[y >> bits][x >> bits])
         a[pos] = _add_px(a[pos], pred)
     return np.array(a, dtype=np.uint32).reshape(h, w)
+
+
+def _add_px_vec(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized per-channel (a+b)&0xFF on packed-ARGB uint32 arrays
+    (same two-lane SWAR as the scalar ``_add_px``)."""
+    hi = np.uint32(0xFF00FF00)
+    lo = np.uint32(0x00FF00FF)
+    return (((a & hi) + (b & hi)) & hi) | (((a & lo) + (b & lo)) & lo)
+
+
+def _avg2_vec(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (a & b) + (((a ^ b) & np.uint32(0xFEFEFEFE)) >> 1)
+
+
+# predictor modes whose inputs come only from the previous (finished)
+# row — whole block-spans of them vectorize; the rest depend on L and
+# stay sequential in x
+_ROW_VEC_MODES = {0, 2, 3, 4, 8, 9}
+
+
+def _inv_predictor(img: np.ndarray, bits: int, sub: np.ndarray) -> np.ndarray:
+    """Span-vectorized predictor inverse: row 0 is a per-channel
+    cumsum; within a row, each block-span whose mode reads only the
+    previous row (black/T/TR/TL and their averages) is one whole-array
+    SWAR add, and only L-dependent modes walk pixel-by-pixel. Parity
+    with ``_inv_predictor_ref`` is fuzz-tested across all 14 modes."""
+    h, w = img.shape
+    out = img.copy()
+    # row 0: forced L chain (+ black alpha at the origin) = cumsum mod 256
+    row0 = np.uint32(0)
+    for shift in (24, 16, 8, 0):
+        ch = (((out[0] >> shift) & 0xFF).cumsum() + (0xFF if shift == 24 else 0)) & 0xFF
+        row0 = row0 | (ch.astype(np.uint32) << shift)
+    out[0] = row0
+    if h == 1:
+        return out
+    modes = ((sub >> 8) & 0xFF).tolist()
+    if any(m >= len(_PREDICTORS) for mr in modes for m in mr):
+        raise ValueError("bad VP8L predictor mode")
+    for y in range(1, h):
+        prev = out[y - 1]
+        row = out[y]
+        row[0] = _add_px(int(row[0]), int(prev[0]))  # forced T
+        mrow = modes[y >> bits]
+        x = 1
+        while x < w:
+            # coalesce consecutive blocks of the same vector-ness into
+            # one run so numpy calls amortize over whole rows, not
+            # 16-pixel block spans
+            isvec = mrow[x >> bits] in _ROW_VEC_MODES
+            x1 = min(w, ((x >> bits) + 1) << bits)
+            while x1 < w and (mrow[x1 >> bits] in _ROW_VEC_MODES) == isvec:
+                x1 = min(w, ((x1 >> bits) + 1) << bits)
+            if isvec:
+                distinct = sorted(
+                    {mrow[b] for b in range(x >> bits, ((x1 - 1) >> bits) + 1)}
+                )
+                # numpy only pays off on long runs; short or mode-mixed
+                # runs go through the scalar loop below
+                isvec = (x1 - x) >= (24 if len(distinct) == 1 else 96)
+            if isvec:
+
+                def cand(m: int) -> np.ndarray:
+                    if m == 0:
+                        return np.full(x1 - x, 0xFF000000, dtype=np.uint32)
+                    if m == 2:
+                        return prev[x:x1]
+                    if m == 4:
+                        return prev[x - 1 : x1 - 1]
+                    if m == 8:
+                        return _avg2_vec(prev[x - 1 : x1 - 1], prev[x:x1])
+                    tr = prev[x + 1 : x1 + 1]
+                    if x1 == w:  # last column's TR is this row's first pixel
+                        tr = np.append(tr, row[0])
+                    return tr if m == 3 else _avg2_vec(prev[x:x1], tr)
+
+                if len(distinct) == 1:
+                    pred = cand(distinct[0])
+                else:
+                    marr = np.asarray(mrow, dtype=np.int32)[np.arange(x, x1) >> bits]
+                    pred = np.select(
+                        [marr == m for m in distinct], [cand(m) for m in distinct]
+                    ).astype(np.uint32)
+                row[x:x1] = _add_px_vec(row[x:x1], pred)
+            else:
+                pv = prev[x - 1 : min(x1 + 1, w)].tolist()
+                if x1 == w:
+                    pv.append(0)  # placeholder; tr overridden at the edge
+                res = row[x:x1].tolist()
+                l = int(row[x - 1])
+                r0 = int(row[0])
+                preds = _PREDICTORS
+                for i in range(x1 - x):
+                    tr = r0 if x + i == w - 1 else pv[i + 2]
+                    l = _add_px(
+                        res[i], preds[mrow[(x + i) >> bits]](l, pv[i + 1], pv[i], tr)
+                    )
+                    res[i] = l
+                row[x:x1] = res
+            x = x1
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -164,6 +164,36 @@ def test_fast_table_reader_parity_and_speed(monkeypatch):
     assert t_slow / t_fast >= 2.0, (t_fast, t_slow)
 
 
+def test_predictor_span_vectorization_parity_and_speed():
+    """The coalesced-run predictor inverse must match the per-pixel
+    reference on random residuals across all 14 modes and random block
+    tilings, and be ≥3× faster on a T-mode image (the common smooth-
+    region case; measured ~10×)."""
+    import time
+
+    import sfa_spark.operators.webp as W
+
+    rng = np.random.default_rng(2)
+    for _ in range(25):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        bits = int(rng.integers(2, 5))
+        img = rng.integers(0, 2**32, (h, w), dtype=np.uint32)
+        sh, sw = -(-h // (1 << bits)), -(-w // (1 << bits))
+        sub = rng.integers(0, 14, (sh, sw), dtype=np.uint32) << 8
+        assert np.array_equal(
+            W._inv_predictor(img, bits, sub), W._inv_predictor_ref(img, bits, sub)
+        )
+    img = rng.integers(0, 2**32, (256, 256), dtype=np.uint32)
+    sub = np.full((16, 16), 2 << 8, dtype=np.uint32)
+    t0 = time.perf_counter()
+    a = W._inv_predictor(img, 4, sub)
+    t1 = time.perf_counter()
+    b = W._inv_predictor_ref(img, 4, sub)
+    t2 = time.perf_counter()
+    assert np.array_equal(a, b)
+    assert (t2 - t1) / (t1 - t0) >= 3.0, (t1 - t0, t2 - t1)
+
+
 def test_lossy_vp8_raises_not_implemented():
     with pytest.raises(NotImplementedError):
         decode_webp(open(FIXTURE, "rb").read())  # VP8X + lossy VP8 + ALPH
