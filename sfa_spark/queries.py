@@ -1237,6 +1237,102 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audio_tone_stats",
+    """
+WITH ids AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS media_id
+  FROM events WHERE user_id < 40
+), s AS (
+  SELECT media_id, t.i AS t,
+         abs(((t.i * (3 + media_id)) % 48000) - 24000) - 12000 AS v
+  FROM ids, generate_series(0, 1999) t(i)
+), lagged AS (
+  SELECT media_id, v,
+         lag(v) OVER (PARTITION BY media_id ORDER BY t) AS pv
+  FROM s
+), agg AS (
+  SELECT media_id,
+         sqrt(sum(CAST(v AS DOUBLE) * v) / 2000.0) / 32768.0 AS rms,
+         max(abs(v)) / 32768.0 AS peak
+  FROM s GROUP BY 1
+), z AS (
+  SELECT media_id,
+         sum(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
+                  THEN 1 ELSE 0 END) / 1999.0 AS zcr
+  FROM lagged GROUP BY 1
+), sil AS (
+  SELECT s.media_id,
+         avg(CASE WHEN abs(s.v / 32768.0) < greatest(0.02, 0.05 * a.peak)
+                  THEN 1.0 ELSE 0.0 END) AS silence_ratio
+  FROM s JOIN agg a USING (media_id) GROUP BY 1
+)
+SELECT a.media_id, round(0.25, 6) AS duration_s, round(a.rms, 6) AS rms,
+       round(a.peak, 6) AS peak, round(z.zcr, 6) AS zcr,
+       round(sil.silence_ratio, 6) AS silence_ratio
+FROM agg a JOIN z USING (media_id) JOIN sil USING (media_id)
+""",
+)
+def audio_tone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio pipeline through REAL WAV bytes, end to end: per user_id a
+    deterministic integer triangle tone (period and thus pitch varies
+    with the id) is encoded to a PCM-16 WAV payload, shipped through
+    the media schema, decoded by the stdlib WAV parser behind the
+    ``audio_or_fake_decoder`` seam, and reduced to its non-spectral DSP
+    features (sfa_spark.operators.audio).
+
+    Oracled bit-exactly in DuckDB: the integer triangle samples
+    regenerate in SQL (abs((t·k) mod 4A − 2A) − A), PCM-16 encode →
+    decode is exact (integer-valued floats, no rounding), and
+    RMS/peak/ZCR/silence re-derive in closed form — both sides use
+    the same IEEE doubles so even the silence threshold comparison
+    (greatest(0.02, 0.05·peak)) lands identically; 6-dp rounding on
+    order-sensitive sums only."""
+    import numpy as np
+    import pandas as pd
+
+    from sfa_spark.operators.audio import encode_wav, extract_audio_features
+    from sfa_spark.operators.multimodal import MEDIA_SCHEMA
+
+    ids = (
+        _events(spark, sf_dir)
+        .select(F.col("user_id").cast("long").alias("media_id"))
+        .filter(F.col("media_id") < 40)
+        .distinct()
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                k = 3 + int(mid)
+                t = np.arange(2000, dtype=np.int64)
+                v = np.abs((t * k) % 48000 - 24000) - 12000
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "kind": "audio",
+                        "payload": encode_wav((v / 32768.0).reshape(-1, 1), 8000),
+                        "meta": {
+                            "width": None, "height": None, "channels": 1,
+                            "sample_rate": 8000, "duration_ms": 250,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    media = ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+    feats = extract_audio_features(media)
+    return feats.select(
+        "media_id",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+        F.round("zcr", 6).alias("zcr"),
+        F.round("silence_ratio", 6).alias("silence_ratio"),
+    )
+
+
+@register(
     "knn_word_index",
     """
 WITH ser AS (
