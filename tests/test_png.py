@@ -128,14 +128,17 @@ def test_paeth_defilter_micro_bench_gate():
     rows = [rng.integers(0, 256, w * c).astype(np.uint8) for _ in range(h)]
     prev = rng.integers(0, 256, w * c).astype(np.uint8)
 
-    t0 = time.time()
-    for r in rows:
-        _paeth_row_ref(r, prev, c)
-    t_ref = time.time() - t0
-    t0 = time.time()
-    for r in rows:
-        _paeth_row(r, prev, c)
-    t_fast = time.time() - t0
+    # best-of-3 per arm (single-shot flips on host noise; bench.py policy)
+    t_ref, t_fast = float("inf"), float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for r in rows:
+            _paeth_row_ref(r, prev, c)
+        t_ref = min(t_ref, time.time() - t0)
+        t0 = time.time()
+        for r in rows:
+            _paeth_row(r, prev, c)
+        t_fast = min(t_fast, time.time() - t0)
     assert t_ref / max(t_fast, 1e-9) >= 5.0, (t_ref, t_fast)
 
 

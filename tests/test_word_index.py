@@ -293,12 +293,15 @@ def test_batched_verify_matches_scalar_and_is_faster():
     # timing: no early abandon possible (lb=0 everywhere, bound=inf) —
     # both kernels must score every candidate
     zeros = np.zeros(n)
-    t0 = time.perf_counter()
-    _verify_topk_scalar(pdf, zeros, q, k, np.inf)
-    t_scalar = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _verify_topk_batched(pdf, zeros, q, k, np.inf)
-    t_batched = time.perf_counter() - t0
+    # best-of-3 per arm (single-shot flips on host noise; bench.py policy)
+    t_scalar, t_batched = float("inf"), float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _verify_topk_scalar(pdf, zeros, q, k, np.inf)
+        t_scalar = min(t_scalar, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _verify_topk_batched(pdf, zeros, q, k, np.inf)
+        t_batched = min(t_batched, time.perf_counter() - t0)
     assert t_scalar / t_batched >= 3.0, (
         f"batched verify only {t_scalar / t_batched:.1f}x over scalar"
     )
