@@ -232,6 +232,104 @@ def top3_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_click_before_purchase",
+    """
+WITH l AS (
+  SELECT event_id, user_id, ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, l.ts, l.purchase_value,
+       r.ts AS asof_ts, r.click_value AS asof_click_value,
+       epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase + the user's latest click at-or-before it.
+
+    Oracled against DuckDB's NATIVE ASOF JOIN operator — an independent
+    implementation of the semantics (inclusive ties, left-outer nulls) —
+    not a SQL re-derivation of the engine's plan. The engine side is the
+    union-tag + running-window form (operators/asof.py): one shuffle by
+    user, no range join, O(|L|+|R|) rows."""
+    from sfa_spark.operators.asof import asof_join, epoch_us
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(left, right, on=["user_id"], right_cols=["click_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_value",
+        "asof_ts",
+        "asof_click_value",
+        (epoch_us("ts") - epoch_us("asof_ts")).alias("lag_us"),
+    )
+
+
+@register(
+    "asof_error_after_purchase",
+    """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, ts, max(value) AS error_value
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, l.ts,
+       CASE WHEN r.ts - l.ts <= INTERVAL 30 MINUTE THEN r.ts END AS asof_ts,
+       CASE WHEN r.ts - l.ts <= INTERVAL 30 MINUTE THEN r.error_value END
+         AS asof_error_value,
+       CASE WHEN r.ts - l.ts <= INTERVAL 30 MINUTE
+            THEN epoch_us(r.ts) - epoch_us(l.ts) END AS lead_us
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+""",
+)
+def asof_error_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: the next error within 30 min of each
+    purchase (next-failure attribution). Same DuckDB native-ASOF oracle,
+    forward direction + staleness bound."""
+    from sfa_spark.operators.asof import asof_join, epoch_us
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("error_value"))
+    )
+    out = asof_join(
+        left,
+        right,
+        on=["user_id"],
+        right_cols=["error_value"],
+        direction="forward",
+        tolerance_seconds=1800,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "asof_ts",
+        "asof_error_value",
+        (epoch_us("asof_ts") - epoch_us("ts")).alias("lead_us"),
+    )
+
+
+@register(
     "sessions_30m",
     """
 WITH gaps AS (
