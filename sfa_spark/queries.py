@@ -363,6 +363,59 @@ def sessions_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m4_daily_16",
+    """
+WITH b AS (
+  SELECT user_id, ts, value,
+         date_trunc('day', ts) AS span_start,
+         (epoch_us(ts) - epoch_us(date_trunc('day', ts))) * 16 // 86400000000
+           AS bucket
+  FROM events
+)
+SELECT user_id, span_start, bucket,
+       min(ts)            AS ts_first,
+       max(ts)            AS ts_last,
+       arg_min(value, ts) AS v_first,
+       arg_max(value, ts) AS v_last,
+       min(value)         AS v_min,
+       max(value)         AS v_max,
+       count(value)       AS n
+FROM b GROUP BY 1, 2, 3
+""",
+)
+def m4_daily_16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization downsample (Jugel et al., VLDB 2014): per user and
+    day, 16 pixel-column buckets each keeping min/max/first/last — the
+    error-free rendering tier. One map-side-combined hash aggregate with
+    exact integer bucket arithmetic (operators/downsample.py)."""
+    from sfa_spark.operators.downsample import m4_downsample
+
+    return m4_downsample(
+        _events(spark, sf_dir),
+        ["user_id"],
+        "ts",
+        "value",
+        F.date_trunc("day", F.col("ts")),
+        span_seconds=86400,
+        width=16,
+    )
+
+
+@register("lttb_32_per_user")
+def lttb_32_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsample to <=32 points per user (below each user's sf0.01
+    event count, so the triangle kernel genuinely engages). NO SQL ORACLE by design:
+    each pick depends on the previous pick (a sequential chain), which
+    plain SQL can't express — the driver records the weaker rows-only
+    check; the strong checks live in tests/test_downsample.py (exact
+    parity against an independent scalar reference implementation, pinned
+    endpoints, deterministic ties)."""
+    from sfa_spark.operators.downsample import lttb_downsample
+
+    return lttb_downsample(_events(spark, sf_dir), ["user_id"], "ts", "value", n_out=32)
+
+
+@register(
     "numerosity_event_type",
     """
 WITH seq AS (
