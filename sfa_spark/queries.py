@@ -416,6 +416,272 @@ def lttb_32_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "interval_join_purchases",
+    """
+WITH gaps AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+),
+ivl AS (
+  SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end
+  FROM sess GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts, i.session_start, i.session_end
+FROM events e
+JOIN ivl i ON e.user_id = i.user_id
+          AND e.ts BETWEEN i.session_start AND i.session_end
+WHERE e.event_type = 'purchase'
+""",
+)
+def interval_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval containment join (operators/rangejoin): each
+    purchase attributed to its 30-min-gap session window. The engine
+    plan is the bucketed-explode equi-join (one hash join on
+    (user, hour-bucket), no range-scan nested loop — the oracle IS the
+    naive range join, at sf0.01 scale where it's affordable)."""
+    from pyspark.sql.window import Window as W
+
+    from sfa_spark.operators.rangejoin import interval_join
+
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull() | (F.col("ts") - prev > F.expr("INTERVAL 30 MINUTES")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    ivl = (
+        ev.withColumn("_sid", F.sum(new_s).over(w))
+        .groupBy("user_id", "_sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .drop("_sid")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return interval_join(
+        purchases,
+        ivl,
+        on=["user_id"],
+        point_ts="ts",
+        start_col="session_start",
+        end_col="session_end",
+        bucket_seconds=3600,
+    )
+
+
+# --------------------------------------------------------------------------
+# mergeable sketches (HLL distinct, count-min) — oracle re-implements
+# Spark's production xxhash64-of-a-long BIT-FOR-BIT in HUGEINT SQL, so
+# the driver check covers the exact hash the 100TB data plane uses.
+# --------------------------------------------------------------------------
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = "18446744073709551616::HUGEINT"
+
+
+def _mulmod64(a: str, b: int) -> str:
+    """(a * b) mod 2^64 in HUGEINT via 32-bit split (a,b < 2^64; the
+    widest intermediate is < 2^96, inside HUGEINT range)."""
+    return (
+        f"((({a}) % 4294967296) * {b} + "
+        f"((({a}) // 4294967296) * {b} % 4294967296) * 4294967296) % {_M64}"
+    )
+
+
+def _rotl64(x: str, r: int) -> str:
+    lo = 1 << (64 - r)
+    return f"((({x}) % {lo}) * {1 << r} + (({x}) // {lo}))"
+
+
+def _xor64(a: str, b: str) -> str:
+    return f"CAST(xor(CAST({a} AS UBIGINT), CAST({b} AS UBIGINT)) AS HUGEINT)"
+
+
+def _xxh64_cte(inner_sql: str, x_expr: str, seed_expr: str, out: str, tag: str) -> str:
+    """Wrap ``inner_sql`` in nested SELECTs that add column ``out`` =
+    XXH64(one 8-byte little-endian long ``x_expr``, seed ``seed_expr``)
+    — the exact algorithm behind Spark's ``xxhash64`` for a LONG input
+    (verified value-for-value against F.xxhash64, incl. 2-arg hash
+    chaining where the first hash seeds the second)."""
+    t = lambda n: f"_{tag}_{n}"
+    shr = lambda x, k: f"(({x}) // {1 << k})"
+    steps = [
+        (t("k1a"), _mulmod64(x_expr, _XXP2)),
+        (t("k1b"), f"({_mulmod64(_rotl64(t('k1a'), 31), _XXP1)})"),
+        (
+            t("h1"),
+            _xor64(f"(({seed_expr}) + {_XXP5 + 8}) % {_M64}", t("k1b")),
+        ),
+        (t("h2"), f"({_mulmod64(_rotl64(t('h1'), 27), _XXP1)} + {_XXP4}) % {_M64}"),
+        (t("h3"), _xor64(t("h2"), shr(t("h2"), 33))),
+        (t("h4"), _mulmod64(t("h3"), _XXP2)),
+        (t("h5"), _xor64(t("h4"), shr(t("h4"), 29))),
+        (t("h6"), _mulmod64(t("h5"), _XXP3)),
+        (out, _xor64(t("h6"), shr(t("h6"), 32))),
+    ]
+    q = inner_sql
+    for name, expr in steps:
+        q = f"SELECT *, {expr} AS {name} FROM ({q})"
+    return q
+
+
+def _hll_oracle_sql() -> str:
+    from sfa_spark.operators.sketches import hll_alpha_scaled
+
+    p, m = 12, 4096
+    maxrank = 64 - p + 1  # 53
+    amm = hll_alpha_scaled(p)
+    hashed = _xxh64_cte(
+        "SELECT date_trunc('day', ts) AS day, user_id::HUGEINT AS xu FROM events",
+        "xu",
+        "42::HUGEINT",
+        "hv",
+        "hh",
+    )
+    return f"""
+WITH regs AS (
+  SELECT day, hv % {m} AS reg_idx,
+         max(CASE WHEN hv // {m} = 0 THEN {maxrank}
+                  ELSE {maxrank} - length(bin(CAST(hv // {m} AS UBIGINT)))
+             END) AS reg
+  FROM ({hashed}) GROUP BY 1, 2
+),
+agg AS (
+  SELECT day, count(*) AS nreg,
+         SUM((1::HUGEINT << ({maxrank - 1} - reg))) AS sumv
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT day, ({m} - nreg)::BIGINT AS zeros,
+         CAST((({m} - nreg)::HUGEINT * (1::HUGEINT << {maxrank - 1}) + sumv)
+              AS DOUBLE) AS total
+  FROM agg
+),
+fin AS (
+  SELECT day, zeros,
+         CASE WHEN {amm!r} / total <= {2.5 * m!r} AND zeros > 0
+              THEN {float(m)!r} * ln({float(m)!r} / zeros::DOUBLE)
+              ELSE {amm!r} / total END AS e
+  FROM est
+)
+SELECT f.day, round(f.e, 4) AS est, round(f.e, 4) AS est_merged, f.zeros,
+       x.exact_n
+FROM fin f
+JOIN (SELECT date_trunc('day', ts) AS day,
+             count(DISTINCT user_id) AS exact_n
+      FROM events GROUP BY 1) x USING (day)
+"""
+
+
+@register("hll_users_daily", _hll_oracle_sql())
+def hll_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog distinct-users-per-day (operators/sketches):
+    ``est`` from registers built straight off the raw scan, ``est_merged``
+    from HOURLY register tables merged up to days (element-wise max) —
+    the continuous-aggregate path that never rescans raw data. The two
+    are bit-equal because merged registers are identical to direct ones;
+    the oracle re-derives the registers from a HUGEINT SQL XXH64 and
+    asserts both columns. ``exact_n`` shows the sketch error in-row."""
+    from sfa_spark.operators.sketches import hll_estimate, hll_merge, hll_registers
+
+    ev = _events(spark, sf_dir).select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "user_id",
+    )
+    direct = hll_estimate(hll_registers(ev, ["day"], "user_id"), ["day"])
+    merged = hll_estimate(
+        hll_merge(hll_registers(ev, ["day", "hour"], "user_id"), ["day"]),
+        ["day"],
+    ).select("day", F.col("est").alias("est_merged"))
+    exact = ev.groupBy("day").agg(F.countDistinct("user_id").alias("exact_n"))
+    return (
+        direct.join(merged, "day")
+        .join(exact, "day")
+        .select("day", "est", "est_merged", "zeros", "exact_n")
+    )
+
+
+def _cms_oracle_sql() -> str:
+    d, w = 4, 1024
+    # chain 1: hv1 = xxh64(user_id, 42); chain 2: hv2 = xxh64(j, hv1)
+    base = _xxh64_cte(
+        f"SELECT user_id, user_id::HUGEINT AS xu, j::HUGEINT AS ju "
+        f"FROM events, (SELECT unnest(range({d})) AS j)",
+        "xu",
+        "42::HUGEINT",
+        "hv1",
+        "c1",
+    )
+    chained = _xxh64_cte(f"{base}", "ju", "hv1", "hv2", "c2")
+    qbase = _xxh64_cte(
+        f"SELECT user_id, user_id::HUGEINT AS xu, j::HUGEINT AS ju "
+        f"FROM (SELECT DISTINCT user_id FROM events), "
+        f"(SELECT unnest(range({d})) AS j)",
+        "xu",
+        "42::HUGEINT",
+        "hv1",
+        "c1",
+    )
+    qchained = _xxh64_cte(f"{qbase}", "ju", "hv1", "hv2", "c2")
+    return f"""
+WITH sketch AS (
+  SELECT ju AS row, hv2 % {w} AS bucket, count(*)::BIGINT AS cnt
+  FROM ({chained}) GROUP BY 1, 2
+),
+q AS (
+  SELECT user_id, ju AS row, hv2 % {w} AS bucket FROM ({qchained})
+),
+est AS (
+  SELECT q.user_id, min(coalesce(s.cnt, 0))::BIGINT AS cms_n
+  FROM q LEFT JOIN sketch s ON q.row = s.row AND q.bucket = s.bucket
+  GROUP BY 1
+)
+SELECT e.user_id, t.true_n, e.cms_n
+FROM est e
+JOIN (SELECT user_id, count(*)::BIGINT AS true_n
+      FROM events GROUP BY 1) t USING (user_id)
+"""
+
+
+@register("cms_user_counts", _cms_oracle_sql())
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy-hitter estimates (operators/sketches): a global
+    4x1024 sketch over all events, then the point estimate for every
+    distinct user vs their true count. Pure integer arithmetic — the
+    oracle re-derives every counter exactly (cms_n >= true_n always, a
+    property also asserted in tests/test_sketches.py)."""
+    from sfa_spark.operators.sketches import cms_estimate, cms_sketch
+
+    ev = _events(spark, sf_dir)
+    sketch = cms_sketch(ev, [], "user_id", d=4, w=1024)
+    queries_df = ev.select("user_id").distinct()
+    est = cms_estimate(sketch, queries_df, [], "user_id", d=4, w=1024)
+    true_n = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    return est.join(true_n, "user_id").select(
+        "user_id", "true_n", F.col("est").alias("cms_n")
+    )
+
+
+@register(
     "numerosity_event_type",
     """
 WITH seq AS (
