@@ -682,6 +682,148 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "counter_rate_1h",
+    """
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         SUM(CAST(floor(abs(value) * 1000) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) % 131072 AS ctr
+  FROM events
+),
+d AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts, ctr,
+         lag(ctr) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM c
+)
+SELECT user_id, bucket_ts,
+       count(*) AS n_samples,
+       SUM(CASE WHEN prev IS NOT NULL AND ctr < prev THEN 1 ELSE 0 END)::BIGINT
+         AS n_resets,
+       COALESCE(SUM(CASE WHEN prev IS NULL THEN NULL
+                         WHEN ctr >= prev THEN ctr - prev
+                         ELSE ctr END), 0)::BIGINT AS increase,
+       round(COALESCE(SUM(CASE WHEN prev IS NULL THEN NULL
+                               WHEN ctr >= prev THEN ctr - prev
+                               ELSE ctr END), 0) / 3600.0, 6) AS rate
+FROM d GROUP BY 1, 2
+""",
+)
+def counter_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus-style counter increase/rate with reset handling
+    (operators/rate.py). The counter series is synthesized
+    deterministically from the events table — an exact-integer running
+    sum of milli-values wrapped mod 2^17, so genuine resets occur — and
+    the per-hour increase counts each reset as a restart from 0."""
+    from pyspark.sql.window import Window as W
+
+    from sfa_spark.operators.rate import counter_increase
+
+    ev = _events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ctr = F.sum(F.floor(F.abs(F.col("value")) * 1000).cast("long")).over(w) % F.lit(
+        131072
+    )
+    c = ev.select("user_id", "ts", "event_id", ctr.alias("ctr"))
+    out = counter_increase(
+        c, ["user_id"], "ts", "ctr", tier="1h", order_cols=["event_id"]
+    )
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        "n_samples",
+        F.col("n_resets").cast("long").alias("n_resets"),
+        F.col("increase").cast("long").alias("increase"),
+        F.round("rate", 6).alias("rate"),
+    )
+
+
+_HIST_EDGES = [1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0, 200.0, 500.0]
+
+
+def _hist_oracle_sql() -> str:
+    edges = _HIST_EDGES
+    vb = " + ".join(f"CASE WHEN value >= {e!r} THEN 1 ELSE 0 END" for e in edges)
+    lo = [edges[0], *edges]
+    hi = [*edges, edges[-1]]
+    lo_sql = "[" + ", ".join(repr(e) for e in lo) + "]"
+    hi_sql = "[" + ", ".join(repr(e) for e in hi) + "]"
+    return f"""
+WITH h AS (
+  SELECT date_trunc('day', ts) AS day, ({vb}) AS vbucket,
+         count(value)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT day, vbucket, cnt,
+         SUM(cnt) OVER (PARTITION BY day ORDER BY vbucket
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY day) AS tot
+  FROM h
+),
+x AS (
+  SELECT day, vbucket, cnt, cum - cnt AS below,
+         CAST(0.95 AS DOUBLE) * CAST(tot AS DOUBLE) AS rnk
+  FROM c WHERE CAST(cum AS DOUBLE) >= CAST(0.95 AS DOUBLE) * CAST(tot AS DOUBLE)
+),
+f AS (
+  SELECT day, arg_min(vbucket, vbucket) AS vb,
+         arg_min(cnt, vbucket) AS cnt,
+         arg_min(below, vbucket) AS below,
+         arg_min(rnk, vbucket) AS rnk
+  FROM x GROUP BY 1
+)
+SELECT f.day,
+       round(({lo_sql})[vb + 1] +
+             (({hi_sql})[vb + 1] - ({lo_sql})[vb + 1]) * (rnk - below) / cnt,
+             6) AS p95,
+       round(({lo_sql})[vb + 1] +
+             (({hi_sql})[vb + 1] - ({lo_sql})[vb + 1]) * (rnk - below) / cnt,
+             6) AS p95_merged,
+       e.exact_p95
+FROM f
+JOIN (SELECT date_trunc('day', ts) AS day,
+             round(quantile_cont(value, 0.95), 6) AS exact_p95
+      FROM events GROUP BY 1) e USING (day)
+"""
+
+
+@register("hist_p95_daily", _hist_oracle_sql())
+def hist_p95_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bucket histogram tier + histogram_quantile
+    (operators/histogram.py): ``p95`` from a 1d histogram built off the
+    raw scan, ``p95_merged`` from HOURLY histograms merged up to days by
+    element-wise count addition — bit-equal because merged counts are
+    identical. ``exact_p95`` (Spark percentile == DuckDB quantile_cont,
+    both linear-interpolation) shows the bucketing error in-row."""
+    from sfa_spark.operators.histogram import hist_merge, hist_quantile, hist_rollup
+
+    ev = _events(spark, sf_dir).withColumn("day", F.date_trunc("day", F.col("ts")))
+    direct = hist_quantile(
+        hist_rollup(ev, ["day"], "ts", "value", _HIST_EDGES, tier="1d").withColumnRenamed(
+            "bucket_ts", "hday"
+        ).drop("hday"),
+        ["day"],
+        _HIST_EDGES,
+        0.95,
+    ).withColumnRenamed("est", "p95")
+    hourly = hist_rollup(ev, ["day"], "ts", "value", _HIST_EDGES, tier="1h")
+    merged = hist_quantile(
+        hist_merge(hourly, ["day"]), ["day"], _HIST_EDGES, 0.95
+    ).withColumnRenamed("est", "p95_merged")
+    exact = ev.groupBy("day").agg(
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("exact_p95")
+    )
+    return direct.join(merged, "day").join(exact, "day").select(
+        "day", "p95", "p95_merged", "exact_p95"
+    )
+
+
+@register(
     "numerosity_event_type",
     """
 WITH seq AS (
