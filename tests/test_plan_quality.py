@@ -157,3 +157,58 @@ def test_sfa_words_plan_has_no_window_and_batched_groups(spark, events):
     assert "FlatMapGroupsInPandas" in p
     # the grouping key must be the coarse pmod bucket, not the raw series id
     assert "pmod" in p, p[:2000]
+
+
+def test_hll_registers_all_jvm_and_map_side_combined(events):
+    """The sketch data plane must stay in whole-stage codegen: native
+    xxhash64, no Python eval anywhere, partial+final aggregation."""
+    from sfa_spark.operators.sketches import hll_registers
+
+    ev = events.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
+    p = plan_of(hll_registers(ev, ["day"], "user_id"))
+    assert "HashAggregate" in p and p.count("HashAggregate") >= 2, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "xxhash64" in p, p
+
+
+def test_m4_prunes_scan_and_combines_map_side(events):
+    from sfa_spark.operators.downsample import m4_downsample
+
+    p = plan_of(
+        m4_downsample(
+            events, ["user_id"], "ts", "value",
+            F.date_trunc("day", F.col("ts")), 86400, width=16,
+        )
+    )
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"ts", "user_id", "value"}, cols
+    assert p.count("HashAggregate") >= 2, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_interval_join_single_hash_join_no_nested_loop(events):
+    from sfa_spark.operators.rangejoin import interval_join
+
+    ivl = events.groupBy("user_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    p = plan_of(
+        interval_join(
+            events.select("user_id", "ts", "value"),
+            ivl, on=["user_id"], start_col="s", end_col="e",
+            bucket_seconds=86400,
+        )
+    )
+    assert "NestedLoop" not in p and "CartesianProduct" not in p, p
+    assert "Join" in p, p
+
+
+def test_counter_rate_single_window_then_partial_agg(events):
+    from sfa_spark.operators.rate import counter_increase
+
+    c = events.select("user_id", "ts", "event_id", F.col("event_id").alias("ctr"))
+    p = plan_of(counter_increase(c, ["user_id"], "ts", "ctr", "1h", ["event_id"]))
+    assert p.count("Window") == 1, p  # exactly one per-key ordered pass
+    assert p.count("HashAggregate") >= 2, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
