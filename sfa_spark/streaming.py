@@ -226,3 +226,70 @@ def stream_tier_to_table(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def hll_batch_sink(tio, ts_col: str, value_col: str, p: int = 12):
+    """``foreachBatch`` body maintaining a day-grouped HLL REGISTER table
+    through the snapshot fence (exposed for direct fence testing).
+
+    Each micro-batch appends its own batch-local registers to the day's
+    partition (``merge_partitions``); readers re-merge by element-wise
+    max (sketches.hll_merge) — the same associative-append model as the
+    tier sink, so there is NO read-modify-write and concurrent batches
+    cannot lose updates. Replays are fenced by stream_batch_id exactly
+    like tier_batch_sink."""
+    from sfa_spark.operators.sketches import hll_registers
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        m = tio.manifest() or {}
+        done = m.get("metrics", {}).get("stream_batch_id", -1)
+        if batch_id <= done:
+            return
+        if batch_df.isEmpty():
+            return
+        regs = hll_registers(
+            batch_df.withColumn("day", F.date_trunc("day", F.col(ts_col))),
+            ["day"],
+            value_col,
+            p,
+        ).withColumn("dt", F.to_date("day"))
+        tio.write_snapshot(
+            regs,
+            "dt",
+            job=f"hll_batch_{batch_id}",
+            metrics={"sketch": f"hll_p{p}", "stream_batch_id": batch_id},
+            merge_partitions=True,
+            precondition=lambda man: man.get("metrics", {}).get(
+                "stream_batch_id", -1
+            )
+            < batch_id,
+        )
+
+    return sink
+
+
+def stream_hll_to_table(
+    spark: SparkSession,
+    stream: DataFrame,
+    table_root: str,
+    ts_col: str,
+    value_col: str,
+    p: int = 12,
+    checkpoint_dir: str | None = None,
+    query_name: str = "hll_stream_sink",
+):
+    """Streaming ingest → persistent HLL register table: raw stream →
+    per-micro-batch registers appended through the exactly-once snapshot
+    fence. Distinct-count queries read the table and fold it with
+    ``hll_merge`` + ``hll_estimate`` — registers merged across any
+    number of micro-batches are bit-identical to a one-shot batch build
+    (max is associative/commutative/idempotent), which is the mergeable-
+    sketch property that lets a streaming tier answer the same continuous
+    aggregates as the batch cascade. Returns the StreamingQuery."""
+    from sfa_spark.tableio import TableIO
+
+    sink = hll_batch_sink(TableIO(table_root), ts_col, value_col, p)
+    writer = stream.writeStream.queryName(query_name).foreachBatch(sink)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

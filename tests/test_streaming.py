@@ -314,3 +314,72 @@ def test_concurrent_stream_sink_and_batch_refresh(spark, events, tmp_path):
     snap = tio.current_snapshot()
     sink(t1d.withColumn("sum", F.col("sum") * 9), 3)
     assert tio.current_snapshot() == snap
+
+
+def test_stream_hll_registers_match_batch_build(spark, events, tmp_path):
+    """Streaming HLL maintenance: registers appended per micro-batch and
+    re-merged on read are BIT-IDENTICAL to a one-shot batch build, and
+    the estimates therefore agree to the last bit."""
+    from pyspark.sql import functions as F
+
+    from sfa_spark.operators.sketches import hll_estimate, hll_merge, hll_registers
+    from sfa_spark.streaming import stream_hll_to_table
+    from sfa_spark.tableio import TableIO
+
+    src = str(tmp_path / "hll_src")
+    ev = events.select("user_id", F.col("ts").cast("timestamp").alias("ts")).cache()
+    # three files -> three micro-batches with maxFilesPerTrigger=1
+    ev.filter(F.col("user_id") % 3 == 0).write.mode("overwrite").parquet(src)
+    ev.filter(F.col("user_id") % 3 == 1).write.mode("append").parquet(src)
+    ev.filter(F.col("user_id") % 3 == 2).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    root = str(tmp_path / "hll_table")
+    q = stream_hll_to_table(
+        spark, stream, root, "ts", "user_id",
+        checkpoint_dir=str(tmp_path / "hll_ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    tio = TableIO(root)
+    assert tio.manifest()["metrics"]["stream_batch_id"] >= 1  # multiple batches
+    stored = tio.read(spark).drop("dt")
+    merged = hll_merge(stored, ["day"])
+    direct = hll_registers(
+        ev.withColumn("day", F.date_trunc("day", F.col("ts"))), ["day"], "user_id"
+    )
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b and len(a) > 0
+    ea = sorted(map(tuple, hll_estimate(merged, ["day"]).collect()))
+    eb = sorted(map(tuple, hll_estimate(direct, ["day"]).collect()))
+    assert ea == eb
+
+
+def test_stream_hll_replayed_batch_commits_once(spark, events, tmp_path):
+    """The exactly-once fence holds for the sketch sink: a replayed
+    batch id neither duplicates register rows nor advances the chain."""
+    from pyspark.sql import functions as F
+
+    from sfa_spark.streaming import hll_batch_sink
+    from sfa_spark.tableio import TableIO
+
+    root = str(tmp_path / "hll_replay")
+    tio = TableIO(root)
+    batch = events.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    ).limit(500)
+    sink = hll_batch_sink(tio, "ts", "user_id")
+    sink(batch, 0)
+    snap_after_first = tio.current_snapshot()
+    n_rows = tio.read(spark).count()
+    sink(batch, 0)  # replay
+    assert tio.current_snapshot() == snap_after_first
+    assert tio.read(spark).count() == n_rows
+    sink(batch, 1)  # a NEW batch appends
+    assert tio.read(spark).count() > n_rows
