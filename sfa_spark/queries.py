@@ -483,6 +483,68 @@ def interval_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "seasonal_anomaly_1h",
+    """
+WITH t AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+         sum(value) / count(value) AS v
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT *, CAST(floor(epoch_us(bucket_ts) / 3600000000.0) AS BIGINT) % 24
+         AS phase
+  FROM t
+),
+w AS (
+  SELECT user_id, bucket_ts, phase, v,
+         count(v)       OVER fr AS n_hist,
+         avg(v)         OVER fr AS baseline,
+         stddev_samp(v) OVER fr AS sigma
+  FROM p
+  WINDOW fr AS (PARTITION BY user_id, phase ORDER BY bucket_ts
+                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, bucket_ts, phase, n_hist,
+       round(v, 6)        AS value,
+       round(baseline, 6) AS baseline,
+       round(sigma, 6)    AS sigma,
+       CASE WHEN n_hist >= 3 AND sigma > 1e-9
+            THEN round((v - baseline) / sigma, 6) END AS z,
+       CASE WHEN n_hist >= 3 AND sigma > 1e-9
+            THEN abs((v - baseline) / sigma) > 3.0 END AS is_anomaly
+FROM w
+""",
+)
+def seasonal_anomaly_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly scoring (operators/anomaly.py): each 1h
+    bucket's mean value vs the SAME hour-of-day over the previous 7
+    days — one (key, phase) window, no self-join fan-out. The oracle
+    re-derives the exact-integer phase and the rows-preceding frame;
+    float mean/stddev/z are rounded 6dp on both sides."""
+    from sfa_spark.operators.anomaly import seasonal_anomaly
+    from sfa_spark.rollup import rollup_tier
+
+    t1h = rollup_tier(_events(spark, sf_dir), ["user_id"], "ts", "value", "1h")
+    tier = t1h.select(
+        "user_id", "bucket_ts", (F.col("sum") / F.col("n")).alias("v")
+    )
+    out = seasonal_anomaly(
+        tier, ["user_id"], "bucket_ts", "v", 3600, 24, n_periods=7
+    )
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        "phase",
+        "n_hist",
+        F.round("value", 6).alias("value"),
+        F.round("baseline", 6).alias("baseline"),
+        F.round("sigma", 6).alias("sigma"),
+        F.round("z", 6).alias("z"),
+        "is_anomaly",
+    )
+
+
 # --------------------------------------------------------------------------
 # mergeable sketches (HLL distinct, count-min) — oracle re-implements
 # Spark's production xxhash64-of-a-long BIT-FOR-BIT in HUGEINT SQL, so
