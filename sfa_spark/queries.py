@@ -545,6 +545,40 @@ def seasonal_anomaly_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ewma_alpha02",
+    """
+WITH RECURSIVE base AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+r AS (
+  SELECT user_id, rn, ts, event_id, value, value AS ewma
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.rn, b.ts, b.event_id, b.value,
+         CAST(0.2 AS DOUBLE) * b.value + CAST(0.8 AS DOUBLE) * r.ewma
+  FROM r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT user_id, ts, event_id, value, ewma FROM r
+""",
+)
+def ewma_alpha02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing (operators/smoothing.py). Compared UNROUNDED: the
+    engine's column-sweep kernel performs exactly the scalar
+    recurrence's float ops per series ((a*x) + (d*y), that association),
+    and the oracle is a DuckDB RECURSIVE CTE computing the identical
+    expression — a sequential recurrence oracled bit-for-bit, no
+    rounding tolerance."""
+    from sfa_spark.operators.smoothing import ewma
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    return ewma(
+        ev, ["user_id"], "ts", "value", alpha=0.2, order_cols=["event_id"]
+    )
+
+
 # --------------------------------------------------------------------------
 # mergeable sketches (HLL distinct, count-min) — oracle re-implements
 # Spark's production xxhash64-of-a-long BIT-FOR-BIT in HUGEINT SQL, so
