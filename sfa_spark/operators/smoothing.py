@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ewma"]
+__all__ = ["ewma", "holt"]
 
 
 def ewma(
@@ -84,6 +84,84 @@ def ewma(
         y = ym[mask]
         out = pdf.copy()
         out[out_col] = y
+        return out
+
+    return sel.groupBy(*key_cols).applyInPandas(kernel, out_schema)
+
+
+def holt(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    beta: float,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) per series:
+
+        lvl_1 = x_1,  trd_1 = 0
+        lvl_t = a*x_t + (1-a)*(lvl_{t-1} + trd_{t-1})
+        trd_t = b*(lvl_t - lvl_{t-1}) + (1-b)*trd_{t-1}
+
+    Same column-sweep kernel as :func:`ewma` — vectorized across series,
+    sequential only along the short time axis — and the same bit-exact
+    discipline: every float expression keeps the association written
+    above, so the DuckDB recursive-CTE oracle (carrying lvl and trd as
+    two columns) matches without rounding. ``forecast_1`` = lvl + trd,
+    the one-step-ahead prediction a monitoring tier alarms against.
+
+    Output: key_cols + ts/order cols + value + (level, trend,
+    forecast_1).
+    """
+    for nm, v in (("alpha", alpha), ("beta", beta)):
+        if not 0.0 < v <= 1.0:
+            raise ValueError(f"{nm} must be in (0, 1], got {v}")
+    a, da = float(alpha), 1.0 - float(alpha)
+    b, db = float(beta), 1.0 - float(beta)
+    order_cols = order_cols or []
+    carry = [ts_col, *order_cols]
+    sel = df.select(*key_cols, *carry, value_col)
+    out_schema = ", ".join(
+        [f"{c} {t}" for c, t in sel.dtypes]
+        + ["level double", "trend double", "forecast_1 double"]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*key_cols, *carry], kind="mergesort").reset_index(
+            drop=True
+        )
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        if key_cols:
+            keys = pdf[key_cols].to_numpy()
+            new = np.ones(len(pdf), dtype=bool)
+            new[1:] = (keys[1:] != keys[:-1]).any(axis=1)
+        else:
+            new = np.zeros(len(pdf), dtype=bool)
+            new[:1] = True
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(pdf)))
+        n_series, max_len = len(starts), int(lens.max()) if len(lens) else 0
+        xm = np.zeros((n_series, max_len), dtype=np.float64)
+        mask = np.arange(max_len)[None, :] < lens[:, None]
+        xm[mask] = x
+        lm = np.empty_like(xm)
+        tm = np.empty_like(xm)
+        lvl = xm[:, 0].copy()
+        trd = np.zeros(n_series, dtype=np.float64)
+        lm[:, 0], tm[:, 0] = lvl, trd
+        for t in range(1, max_len):
+            # associations pinned to the docstring formulas
+            lvl_new = a * xm[:, t] + da * (lvl + trd)
+            trd_new = b * (lvl_new - lvl) + db * trd
+            upd = mask[:, t]
+            lvl = np.where(upd, lvl_new, lvl)
+            trd = np.where(upd, trd_new, trd)
+            lm[:, t], tm[:, t] = lvl, trd
+        out = pdf.copy()
+        out["level"] = lm[mask]
+        out["trend"] = tm[mask]
+        out["forecast_1"] = out["level"] + out["trend"]
         return out
 
     return sel.groupBy(*key_cols).applyInPandas(kernel, out_schema)

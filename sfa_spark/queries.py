@@ -579,6 +579,48 @@ def ewma_alpha02(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "holt_level_trend",
+    """
+WITH RECURSIVE base AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+r AS (
+  SELECT user_id, rn, ts, event_id, value,
+         value AS level, CAST(0 AS DOUBLE) AS trend
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT user_id, rn, ts, event_id, value, lvl_new AS level,
+         CAST(0.1 AS DOUBLE) * (lvl_new - lvl_old)
+           + CAST(0.9 AS DOUBLE) * trd_old AS trend
+  FROM (
+    SELECT b.user_id, b.rn, b.ts, b.event_id, b.value,
+           r.level AS lvl_old, r.trend AS trd_old,
+           CAST(0.3 AS DOUBLE) * b.value
+             + CAST(0.7 AS DOUBLE) * (r.level + r.trend) AS lvl_new
+    FROM r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+  )
+)
+SELECT user_id, ts, event_id, value, level, trend, level + trend AS forecast_1
+FROM r
+""",
+)
+def holt_level_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (operators/smoothing.holt):
+    two COUPLED recurrences (level + trend) per series, compared
+    UNROUNDED against a DuckDB recursive CTE carrying both states —
+    same bit-exact discipline as ewma_alpha02. forecast_1 = level +
+    trend is the one-step-ahead prediction."""
+    from sfa_spark.operators.smoothing import holt
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    return holt(
+        ev, ["user_id"], "ts", "value", alpha=0.3, beta=0.1, order_cols=["event_id"]
+    )
+
+
 # --------------------------------------------------------------------------
 # mergeable sketches (HLL distinct, count-min) — oracle re-implements
 # Spark's production xxhash64-of-a-long BIT-FOR-BIT in HUGEINT SQL, so

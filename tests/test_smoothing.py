@@ -82,3 +82,61 @@ def test_invalid_alpha_rejected(spark):
     pdf = _pdf(np.random.default_rng(45), n_keys=1)
     with pytest.raises(ValueError):
         ewma(spark.createDataFrame(pdf), ["k"], "ts", "v", 0.0)
+
+
+def _scalar_holt(pdf, a, b):
+    out = {}
+    da, db = 1.0 - a, 1.0 - b
+    for k, g in pdf.groupby("k"):
+        g = g.sort_values(["ts", "eid"])
+        lvl = trd = None
+        rows = []
+        for v in g["v"]:
+            if lvl is None:
+                lvl, trd = v, 0.0
+            else:
+                lvl_new = a * v + da * (lvl + trd)
+                trd = b * (lvl_new - lvl) + db * trd
+                lvl = lvl_new
+            rows.append((lvl, trd))
+        out[k] = rows
+    return out
+
+
+def test_holt_bit_exact_vs_scalar(spark):
+    from sfa_spark.operators.smoothing import holt
+
+    pdf = _pdf(np.random.default_rng(47))
+    got = (
+        holt(spark.createDataFrame(pdf), ["k"], "ts", "v", 0.3, 0.1, ["eid"])
+        .toPandas()
+        .sort_values(["k", "ts", "eid"])
+    )
+    want = _scalar_holt(pdf, 0.3, 0.1)
+    for k, g in got.groupby("k"):
+        for (gl, gt, gf), (wl, wt) in zip(
+            g[["level", "trend", "forecast_1"]].itertuples(index=False), want[k]
+        ):
+            assert gl == wl and gt == wt and gf == wl + wt
+
+
+def test_holt_tracks_linear_trend(spark):
+    from sfa_spark.operators.smoothing import holt
+
+    # x_t = 3t: after convergence trend -> 3 and forecast_1 -> next value
+    pdf = pd.DataFrame(
+        {
+            "k": 0,
+            "ts": [EPOCH + dt.timedelta(seconds=i) for i in range(200)],
+            "eid": range(200),
+            "v": [3.0 * i for i in range(200)],
+        }
+    )
+    got = (
+        holt(spark.createDataFrame(pdf), ["k"], "ts", "v", 0.5, 0.3, ["eid"])
+        .toPandas()
+        .sort_values("eid")
+    )
+    tail = got.iloc[-1]
+    assert abs(tail["trend"] - 3.0) < 1e-6
+    assert abs(tail["forecast_1"] - 3.0 * 200) < 1e-5
