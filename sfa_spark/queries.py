@@ -621,6 +621,57 @@ def holt_level_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "twa_1h",
+    """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS t0,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS t1,
+         value AS v
+  FROM events
+),
+seg AS (SELECT * FROM s WHERE t1 IS NOT NULL),
+e AS (
+  SELECT user_id, v, t0, t1,
+         unnest(range(t0 // 3600000000, (t1 - 1) // 3600000000 + 1)) AS b
+  FROM seg
+),
+g AS (
+  SELECT user_id, make_timestamp(b * 3600000000) AS bucket_ts, v,
+         least(t1, (b + 1) * 3600000000) - greatest(t0, b * 3600000000) AS ov,
+         CASE WHEN t0 >= b * 3600000000 THEN 1 ELSE 0 END AS sh
+  FROM e
+)
+SELECT user_id, bucket_ts,
+       SUM(sh)::BIGINT AS n_samples,
+       SUM(ov)::BIGINT AS covered_us,
+       round(SUM(v * ov) / SUM(ov), 6) AS twa
+FROM g GROUP BY 1, 2
+""",
+)
+def twa_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over the LOCF curve (operators/twa.py) —
+    the irregular-sampling-correct per-bucket mean, TimescaleDB's
+    time_weight('LOCF') analogue. Hold intervals clip to hour buckets
+    with exact integer microsecond arithmetic; holds crossing bucket
+    boundaries contribute to every covered bucket (bucketed explode,
+    same idiom as the interval join)."""
+    from sfa_spark.operators.twa import time_weighted_avg
+
+    out = time_weighted_avg(
+        _events(spark, sf_dir), ["user_id"], "ts", "value", "1h",
+        order_cols=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        "n_samples",
+        "covered_us",
+        F.round("twa", 6).alias("twa"),
+    )
+
+
 # --------------------------------------------------------------------------
 # mergeable sketches (HLL distinct, count-min) — oracle re-implements
 # Spark's production xxhash64-of-a-long BIT-FOR-BIT in HUGEINT SQL, so
