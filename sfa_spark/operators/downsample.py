@@ -98,6 +98,8 @@ def lttb_downsample(
     area argmax in one vectorized shot (ties → earliest point, so the
     result is partition-order independent).
     """
+    if n_out < 3:
+        raise ValueError(f"n_out must be >= 3 (first/last + interior), got {n_out}")
     out_schema = ", ".join(
         [f"{c} {t}" for c, t in df.select(*key_cols).dtypes]
         + [

@@ -52,7 +52,8 @@ def hist_rollup(
     from sfa_spark.rollup import bucket_expr
 
     return (
-        df.groupBy(
+        df.filter(F.col(value_col).isNotNull())  # NULL sorts differ by engine
+        .groupBy(
             *key_cols,
             bucket_expr(ts_col, tier).alias("bucket_ts"),
             vbucket_expr(value_col, edges).alias("vbucket"),

@@ -56,6 +56,13 @@ def interval_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
+    clash = (set(points.columns) & set(intervals.columns)) - set(on)
+    if clash:
+        raise ValueError(
+            f"non-key columns {sorted(clash)} exist on both sides — rename "
+            "one side (the output keeps every point column plus every "
+            "non-key interval column)"
+        )
     b = int(bucket_seconds) * 1_000_000
 
     def us(c):

@@ -293,3 +293,33 @@ def stream_hll_to_table(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def streaming_sessions(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming sessionization with Spark's native ``session_window``:
+    events within ``gap`` of each other merge into one session whose
+    window grows until a quiet period closes it (the stateful equivalent
+    of the batch lag-gap derivation in queries.sessions_30m — semantics
+    coincide except at gaps EXACTLY equal to ``gap``, a measure-zero
+    case for microsecond timestamps; tests assert count parity on real
+    data). Append mode: the watermark finalizes each session once.
+
+    Output: key_cols + (session_start, session_end, n_events).
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols, F.session_window(F.col(ts_col), gap).alias("_w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *key_cols,
+            F.col("_w.start").alias("session_start"),
+            F.col("_w.end").alias("session_end"),
+            "n_events",
+        )
+    )

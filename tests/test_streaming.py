@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -383,3 +384,65 @@ def test_stream_hll_replayed_batch_commits_once(spark, events, tmp_path):
     assert tio.read(spark).count() == n_rows
     sink(batch, 1)  # a NEW batch appends
     assert tio.read(spark).count() > n_rows
+
+
+def test_streaming_session_window_matches_batch_sessions(spark, events, tmp_path):
+    """Native session_window streaming sessionization == the batch
+    lag-gap derivation: same session count and same per-session event
+    counts for every user."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from sfa_spark.streaming import streaming_sessions
+
+    src = str(tmp_path / "sess_src")
+    ev = events.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    ).cache()
+    ev.write.mode("overwrite").parquet(src)
+    # sentinel far-future row per user pushes the watermark so append
+    # mode finalizes every real session
+    far = ev.groupBy("user_id").agg(F.max("ts").alias("ts")).select(
+        "user_id", (F.col("ts") + F.expr("INTERVAL 365 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("event_id"),
+    )
+    far.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        streaming_sessions(stream, ["user_id"], "ts", "30 minutes", "0 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql("SELECT * FROM sess_stream")
+        .filter(F.col("n_events") > 0)
+        .toPandas()
+    )
+    # drop sentinel-only sessions
+    got = got[got["session_start"] < got["session_start"].max() - pd.Timedelta(days=300)]
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull() | (F.col("ts") - prev > F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    batch = (
+        ev.withColumn("sid", F.sum(new_s).over(w))
+        .groupBy("user_id", "sid")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ts").alias("session_start"))
+        .toPandas()
+    )
+    a = got.groupby("user_id")["n_events"].agg(["count", "sum"]).sort_index()
+    b = batch.groupby("user_id")["n_events"].agg(["count", "sum"]).sort_index()
+    pd.testing.assert_frame_equal(a, b)
+    # per-session event counts match too (sorted multiset per user)
+    for uid in a.index:
+        ga = sorted(got[got["user_id"] == uid]["n_events"].tolist())
+        gb = sorted(batch[batch["user_id"] == uid]["n_events"].tolist())
+        assert ga == gb, uid
