@@ -1012,6 +1012,71 @@ def hist_p95_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shuffle_oracle_sql() -> str:
+    seed, n_shards = 7, 8
+    base = _xxh64_cte(
+        "SELECT doc_id, doc_id::HUGEINT AS xu, "
+        f"{seed}::HUGEINT AS su FROM documents",
+        "xu",
+        "42::HUGEINT",
+        "hv1",
+        "s1",
+    )
+    chained = _xxh64_cte(base, "su", "hv1", "hv2", "s2")
+    return f"""
+WITH h AS (
+  SELECT doc_id, hv2 % {n_shards} AS shard,
+         CAST(CASE WHEN hv2 >= 9223372036854775808::HUGEINT
+                   THEN hv2 - 18446744073709551616::HUGEINT
+                   ELSE hv2 END AS BIGINT) AS hs
+  FROM ({chained})
+)
+SELECT doc_id, shard::BIGINT AS shard,
+       (row_number() OVER (PARTITION BY shard ORDER BY hs, doc_id) - 1)
+         AS pos
+FROM h
+"""
+
+
+@register("train_shuffle_shards", _shuffle_oracle_sql())
+def train_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-data shuffle + sharding
+    (operators/shuffle.py): seeded xxhash64 permutation split into 8
+    worker shards with dense per-shard positions — reproducible across
+    partitioning, insert order, and cluster size. The oracle re-derives
+    the chained production hash in HUGEINT SQL and re-ranks with the
+    SIGNED hash ordering Spark uses."""
+    from sfa_spark.operators.shuffle import shuffle_shards
+
+    docs = _documents(spark, sf_dir).select("doc_id")
+    return shuffle_shards(docs, "doc_id", seed=7, n_shards=8)
+
+
+@register("bpe_merges_docs")
+def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary training (operators/bpe.py): the first 20 learned
+    merges over the documents corpus. NO SQL ORACLE by design: an
+    iterative global argmax with re-segmentation between steps is not
+    SQL-expressible — the driver records the rows-only check; the strong
+    check is exact merge-list parity against an independent scalar
+    implementation (tests/test_bpe.py). Deterministic: count-then-
+    lexicographic tie-break makes the merge list a pure function of the
+    corpus."""
+    from sfa_spark.operators.bpe import train_bpe
+
+    merges = train_bpe(
+        spark,
+        _documents(spark, sf_dir),
+        n_merges=20,
+        min_count=2,
+        min_word_freq=2,
+    )
+    return spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "rank long, left string, right string, cnt long",
+    )
+
+
 @register(
     "numerosity_event_type",
     """
