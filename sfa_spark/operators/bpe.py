@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["word_freq_table", "train_bpe"]
+__all__ = ["word_freq_table", "train_bpe", "encode_word", "bpe_token_counts"]
 
 
 def word_freq_table(
@@ -183,3 +183,73 @@ def train_bpe(
         seg = new_seg
     seg.unpersist()
     return merges
+
+
+def encode_word(word: str, ranks: dict) -> list[str]:
+    """Encode ONE word with learned merges: repeatedly merge the
+    lowest-rank adjacent pair present (left-to-right non-overlapping per
+    sweep) until none applies — the classic BPE encode. Encoding a
+    training-corpus word reproduces its final training segmentation
+    exactly (tested)."""
+    s = list(word)
+    while len(s) > 1:
+        best_rank, best_pair = None, None
+        for i in range(len(s) - 1):
+            r = ranks.get((s[i], s[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (s[i], s[i + 1])
+        if best_pair is None:
+            break
+        a, b = best_pair
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = out
+    return s
+
+
+def bpe_token_counts(
+    spark: SparkSession,
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BPE token counts with a learned merge list.
+
+    Distributed shape: the corpus explodes to words ONCE; the expensive
+    per-word encode runs over the DISTINCT words only (a pandas-batch
+    kernel over the small word table — same asymmetry the trainer
+    exploits), then a broadcast join maps every corpus word to its
+    token count. Output: id_col + (n_words, n_tokens)."""
+    import pandas as pd
+
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    b_ranks = spark.sparkContext.broadcast(ranks)
+
+    def kern(batches):
+        r = b_ranks.value
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["n_tok"] = [len(encode_word(w, r)) for w in pdf["w"]]
+            yield pdf
+
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+    ).filter(F.length("w") > 0)
+    distinct = words.select("w").distinct()
+    encoded = distinct.mapInPandas(kern, "w string, n_tok long")
+    return (
+        words.join(F.broadcast(encoded), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )

@@ -1077,6 +1077,22 @@ def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bpe_token_counts_docs")
+def bpe_token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode applied corpus-wide (operators/bpe.bpe_token_counts):
+    train 20 merges, then per-document word + BPE-token counts — the
+    distinct-word table carries the per-word encode, a broadcast join
+    maps it back over the corpus. Rows-only like bpe_merges_docs (same
+    non-SQL-expressible iterative core, disclosed); the strong checks
+    are the encode==training-segmentation property and the scalar e2e
+    parity in tests/test_bpe.py."""
+    from sfa_spark.operators.bpe import bpe_token_counts, train_bpe
+
+    docs = _documents(spark, sf_dir)
+    merges = train_bpe(spark, docs, n_merges=20, min_count=2, min_word_freq=2)
+    return bpe_token_counts(spark, docs, merges)
+
+
 @register(
     "numerosity_event_type",
     """

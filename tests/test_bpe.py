@@ -96,3 +96,72 @@ def test_min_word_freq_prunes_tail(spark):
     want = scalar_bpe(texts, 5, min_count=1, min_word_freq=2)
     assert got == want
     assert all("r" not in a and "r" not in b for a, b, _ in got)
+
+
+def scalar_bpe_with_segs(texts, n_merges, min_count=2):
+    """Scalar reference that also returns the final segmentations."""
+    wc = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            wc[w] += 1
+    segs = {w: list(w) for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, c in wc.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < min_count:
+            break
+        merges.append((a, b, cnt))
+        for w in segs:
+            s = segs[w]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return merges, segs
+
+
+def test_encode_reproduces_training_segmentation(spark):
+    """The classic BPE property: greedy rank-order encoding of a
+    training-corpus word yields exactly its final training
+    segmentation."""
+    from sfa_spark.operators.bpe import encode_word
+
+    merges, segs = scalar_bpe_with_segs(TEXTS, 25, min_count=2)
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    for w, seg in segs.items():
+        assert encode_word(w, ranks) == seg, w
+
+
+def test_token_counts_end_to_end(spark):
+    from sfa_spark.operators.bpe import bpe_token_counts, train_bpe
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(TEXTS)), "text": TEXTS})
+    )
+    merges = train_bpe(spark, docs, n_merges=25, min_count=2)
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in bpe_token_counts(spark, docs, merges).collect()
+    }
+    _, segs = scalar_bpe_with_segs(TEXTS, 25, min_count=2)
+    for i, t in enumerate(TEXTS):
+        words = t.lower().split()
+        want_tokens = sum(len(segs[w]) for w in words)
+        assert got[i] == (len(words), want_tokens), i
+    # merging strictly reduces token count vs chars, never below words
+    for i, t in enumerate(TEXTS):
+        n_chars = sum(len(w) for w in t.lower().split())
+        assert got[i][0] <= got[i][1] < n_chars
