@@ -14,9 +14,10 @@ pixel line as the raw data". Two published answers:
 * **LTTB** (Steinarsson, "Downsampling Time Series for Visual
   Representation", 2013): largest-triangle-three-buckets. Sequential
   per series (each pick depends on the previous pick), so it runs as a
-  vectorized per-series ``applyInPandas`` kernel after an M4-style
-  pre-reduction; used when a fixed point budget matters more than
-  pixel-exactness.
+  vectorized per-series ``applyInPandas`` kernel; for series too large
+  for one task, run M4 first and LTTB over its output — the composition
+  keeps the kernel's input bounded. Used when a fixed point budget
+  matters more than pixel-exactness.
 
 The reference's analogue is disjoint-window summarization
 (/root/reference/src/main/java/sfa/timeseries/TimeSeries.java:256-271);
