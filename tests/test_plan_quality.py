@@ -212,3 +212,27 @@ def test_counter_rate_single_window_then_partial_agg(events):
     assert p.count("Window") == 1, p  # exactly one per-key ordered pass
     assert p.count("HashAggregate") >= 2, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_twa_single_window_no_python(events):
+    from sfa_spark.operators.twa import time_weighted_avg
+
+    p = plan_of(time_weighted_avg(events, ["user_id"], "ts", "value", "1h"))
+    assert p.count("Window") == 1, p  # one lead pass per key
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert p.count("HashAggregate") >= 2, p  # partial+final
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"ts", "user_id", "value", "event_id"} - {"event_id"} or cols == {
+        "ts", "user_id", "value"
+    }, cols
+
+
+def test_shuffle_shards_all_jvm(documents):
+    from sfa_spark.operators.shuffle import shuffle_shards
+
+    p = plan_of(shuffle_shards(documents.select("doc_id"), "doc_id", 7, 8))
+    assert "xxhash64" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    # the rank sorts WITHIN shards (partitioned sort), not globally
+    assert "Exchange rangepartitioning" not in p, p
