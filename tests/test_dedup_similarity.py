@@ -336,10 +336,12 @@ def test_batched_signature_kernels_match_per_doc_reference():
         " ".join(rng.choice(words, size=int(rng.integers(1, 10))))
         for _ in range(5000)
     ]
-    # best-of-3 per arm: single-shot timings on this virtualized host swing
-    # enough to flip the gate (same policy as bench.py headline timings)
+    # best-of-5 per arm: single-shot timings on this virtualized host swing
+    # enough to flip the gate (same policy as bench.py headline timings);
+    # 3 reps still flaked once when a second pytest + Spark JVM saturated
+    # the host mid-rep, so take 5 — the min of 5 needs only ONE quiet rep
     t_batch, t_ref = float("inf"), float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         hh, starts = _batch_shingle_hashes(texts, k)
         mat = _minhash_from_batch(hh, starts, a, b)
