@@ -30,7 +30,7 @@ Scale design (100 TB):
   time.
 * Estimation avoids float-summation order sensitivity: the harmonic
   denominator ``sum(2^-reg)`` is computed as an INTEGER sum scaled by
-  ``2^(64-p-1)`` (each term exact, decimal(38) accumulation exact), so
+  ``2^(64-p)`` (each term exact, decimal(38) accumulation exact), so
   the estimate is a deterministic function of the registers on any
   engine — this is what makes the DuckDB oracle bit-exact.
 """
@@ -88,6 +88,10 @@ def hll_registers(
     h = F.xxhash64(F.col(value_col))
     # low p bits of the unsigned hash: pmod folds Java's signed % back
     bucket = F.pmod(h, F.lit(1 << p))
+    # NULLs are dropped, not hashed: Spark's xxhash64 maps NULL to the
+    # seed while SQL engines propagate NULL — and "distinct count" of a
+    # NULL sentinel is rarely what a caller means
+    df = df.filter(F.col(value_col).isNotNull())
     return (
         df.groupBy(*group_cols, bucket.alias("reg_idx"))
         .agg(F.max(_rank_expr(h, p)).alias("reg"))
@@ -157,8 +161,10 @@ def cms_sketch(
     Spark uses for multi-column hashes."""
     rows = F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("row")
     wcol = F.col(weight_col) if weight_col else F.lit(1)
-    e = df.select(*group_cols, F.col(value_col), wcol.alias("_w")).select(
-        "*", rows
+    e = (
+        df.filter(F.col(value_col).isNotNull())  # same NULL rule as HLL
+        .select(*group_cols, F.col(value_col), wcol.alias("_w"))
+        .select("*", rows)
     )
     bucket = F.pmod(F.xxhash64(F.col(value_col), F.col("row").cast("long")), F.lit(w))
     return (
