@@ -931,6 +931,51 @@ def counter_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "gaps_daily",
+    """
+WITH d AS (
+  SELECT user_id, date_trunc('day', ts) AS day, ts,
+         epoch_us(ts) - epoch_us(lag(ts) OVER
+           (PARTITION BY user_id, date_trunc('day', ts)
+            ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT user_id, day,
+       count(*) AS n_samples,
+       max(gap_us) AS max_gap_us,
+       SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END)::BIGINT
+         AS n_gaps_over_30m
+FROM d GROUP BY 1, 2
+""",
+)
+def gaps_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-gap analysis per (user, day): largest inter-sample gap and
+    count of gaps over 30 minutes — the observability complement to LOCF
+    gap-FILL (where did the series go dark, and for how long). One lag
+    window partitioned by (key, day) + a map-side-combined aggregate;
+    exact integer microseconds throughout."""
+    from pyspark.sql.window import Window as W
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    w = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    return (
+        ev.withColumn("gap_us", gap)
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.sum(
+                F.when(F.col("gap_us") > 1_800_000_000, 1).otherwise(0)
+            ).cast("long").alias("n_gaps_over_30m"),
+        )
+    )
+
+
 _HIST_EDGES = [1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0, 200.0, 500.0]
 
 
