@@ -97,10 +97,11 @@ def _mean_doc_bytes(texts) -> float:
 
 
 #: window-chunk size for the batched segment reductions — small enough
-#: that the (chunk × 64) uint64 working set (~2 MB) stays cache-resident
-#: and the reused buffer avoids large-allocation page faults (measured
-#: ~9× faster than 256k-row chunks on this host)
-_SIG_CHUNK = 4096
+#: that the (chunk × 64) uint64 working set (~512 KB) stays L2-resident
+#: and the reused buffer avoids large-allocation page faults (r6 sweep
+#: over 256/512/1024/2048/4096: 1024 ≈ 512 within noise, both ~2× the
+#: old 4096 on the minhash kernel — the 2 MB buffer spilled L2)
+_SIG_CHUNK = 1024
 
 
 def _batch_shingle_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -187,16 +188,22 @@ def _minhash_from_batch(
 
 def _simhash_from_batch(hh: np.ndarray, starts: np.ndarray) -> np.ndarray:
     """(n_docs,) SimHash fingerprints via chunked per-bit segment-sum
-    (``np.add.reduceat``) + one vectorized bit-pack."""
+    (``np.add.reduceat``) + one vectorized bit-pack.
+
+    Bit expansion uses ``np.unpackbits`` over the uint64s' little-endian
+    byte view (bitorder='little' ⇒ column j == bit j of the hash, i.e.
+    ``(h >> j) & 1`` — exactly the old 64-shift loop, verified equal),
+    one C call writing uint8 instead of 64 uint64 shift passes: ~2×."""
     n_docs = starts.size - 1
     bit_idx = np.arange(64, dtype=np.uint64)
     cnt = np.zeros((n_docs, 64), dtype=np.int64)
-    buf = np.empty((_SIG_CHUNK, 64), dtype=np.uint64)
     for sl, red, segs in _segment_chunks(starts, hh.size):
-        bits = buf[: sl.stop - sl.start]
-        np.right_shift(hh[sl, None], bit_idx[None, :], out=bits)
-        bits &= np.uint64(1)
-        cnt[segs] += np.add.reduceat(bits, red, axis=0).astype(np.int64)
+        bits = np.unpackbits(
+            hh[sl].view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )
+        # int32 intermediate: reduceat keeps the input dtype, and uint8
+        # would wrap past 255 shingles; a segment is < _SIG_CHUNK < 2^15
+        cnt[segs] += np.add.reduceat(bits.astype(np.int32), red, axis=0)
     score = cnt * 2 - np.diff(starts)[:, None]
     fp = ((score > 0).astype(np.uint64) << bit_idx[None, :]).sum(axis=1)
     return fp.astype(np.int64)

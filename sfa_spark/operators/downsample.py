@@ -59,6 +59,9 @@ def m4_downsample(
     v_min, v_max, n). first/last are value-at-min/max-ts (deterministic
     min_by/max_by, same convention as rollup_tier).
     """
+    from sfa_spark.scanfix import pin_scan_parallelism
+
+    df = pin_scan_parallelism(df, key_cols)
     origin = F.col(span_start) if isinstance(span_start, str) else span_start
     us_in = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(
         origin.cast("timestamp")

@@ -54,7 +54,11 @@ def counter_increase(
     _, width = TIERS[tier]
     order = [F.col(ts_col), *[F.col(c) for c in (order_cols or [])]]
     w = Window.partitionBy(*key_cols).orderBy(*order)
-    v, prev = F.col(counter_col), F.lag(counter_col).over(w)
+    # materialize the lag ONCE: inlining the window expression into the
+    # delta/reset CASEs made Catalyst plan FIVE identical lag() window
+    # expressions (one per reference — r6 plan audit); a select boundary
+    # pins a single `_prev` column the projections then reuse
+    v, prev = F.col(counter_col), F.col("_prev")
     delta = F.when(prev.isNull(), F.lit(None)).otherwise(
         F.when(v >= prev, v - prev).otherwise(v)
     )
@@ -63,6 +67,12 @@ def counter_increase(
         df.select(
             *key_cols,
             bucket_expr(ts_col, tier).alias("bucket_ts"),
+            F.col(counter_col),
+            F.lag(counter_col).over(w).alias("_prev"),
+        )
+        .select(
+            *key_cols,
+            "bucket_ts",
             delta.alias("_d"),
             reset.alias("_r"),
         )

@@ -28,11 +28,50 @@ def test_rollup_prunes_columns_and_combines_map_side(events):
     assert p.count("HashAggregate") >= 2  # partial + final
 
 
-def test_locf_join_is_broadcast(events):
+def test_scan_fixup_fires_only_on_starved_bare_scans(spark, events):
+    """r6 unsplittable-scan fixup (guide §2.5): a bare parquet scan with
+    too few partitions is repartitioned by key (REPARTITION_BY_NUM, so
+    AQE never coalesces it) and the aggregation reuses that one
+    exchange; any composed input keeps the classic map-side-combined
+    shape with NO injected repartition."""
+    from pyspark.sql.window import Window as W
+
+    p = plan_of(rollup_tier(events, ["user_id"], "ts", "value", "1m"))
+    assert "REPARTITION_BY_NUM" in p, p[:1500]
+    assert p.count("Exchange") == 1, p[:1500]  # agg reuses the repartition
+
+    composed = events.withColumn(
+        "r", F.row_number().over(W.partitionBy("user_id").orderBy("ts"))
+    )
+    p2 = plan_of(rollup_tier(composed, ["user_id"], "ts", "value", "1m"))
+    assert "REPARTITION_BY_NUM" not in p2, p2[:1500]
+
+
+def test_dense_spine_fanout_survives_aqe(events):
+    """r6: the pre-explode repartition must reach the physical plan as
+    REPARTITION_BY_NUM (AQE's min-partition floor had been coalescing
+    the ENSURE_REQUIREMENTS exchange it collapsed into, running the
+    whole explode fan-out in a handful of tasks)."""
+    from sfa_spark.rollup import dense_spine
+
+    t = rollup_tier(events, ["user_id"], "ts", "value", "1h")
+    p = plan_of(dense_spine(t, ["user_id"], "1h"))
+    assert "REPARTITION_BY_NUM" in p, p[:2000]
+
+
+def test_locf_is_join_free(events):
+    """r6: gap-fill generates dense rows straight from the observed rows
+    (lead + sequence explode, LOCF by construction) — no spine join, no
+    broadcast of the tier, no second pass for bounds, and the one window
+    runs over OBSERVED rows only (before the Generate fan-out)."""
     t = rollup_tier(events, ["user_id"], "ts", "value", "1h")
     p = plan_of(gap_fill_locf(t, ["user_id"], "1h"))
-    assert "BroadcastHashJoin" in p  # spine ⋈ observed buckets
-    assert "CartesianProduct" not in p
+    for node in ("Join", "BroadcastExchange", "CartesianProduct"):
+        assert node not in p, f"{node} crept back into the LOCF plan:\n{p[:2000]}"
+    assert p.count("Window") == 1  # lead + carry share one window pass
+    assert p.count("Generate") == 1  # the dense fan-out
+    # the window must run BEFORE the explode (observed rows, not dense)
+    assert p.index("Generate") < p.index("Window")
 
 
 def test_encode_pins_explicit_partitioning(events):
