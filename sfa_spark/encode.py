@@ -155,14 +155,6 @@ def encode_tier_blocks_gapfill(
     bucket_us = int(bucket_s) * 1_000_000
     chunk_us = bucket_us * max_block
     spark = tier_df.sparkSession
-    # 2 waves of tasks per core: with one partition per core the slowest
-    # (most key-skewed) partition sets the stage wall time; smaller
-    # partitions let the scheduler smooth the variance (straggler
-    # mitigation). Profiled at both 8 and 32 pinned cores: ×2 beats both
-    # ×1 (stragglers) and ×4/×8 (per-partition python+Arrow setup grows
-    # linearly with partition count and dominates once the kernel is
-    # O(observed) — jobs/encode_profile.py sweep, BENCH/BASELINE.md)
-    n_part = partitions or spark.sparkContext.defaultParallelism * 2
 
     # ONE pass over the observed buckets: shuffle by key (explicit N — AQE
     # upstream may have coalesced to fewer partitions than cores), sort
@@ -176,6 +168,29 @@ def encode_tier_blocks_gapfill(
         F.unix_micros(F.col(ts_col)).alias("_us"),
         F.col(value_col).cast("double").alias("_v"),
     )
+    # Partition-count policy. Ceiling: 2 waves of tasks per core — with
+    # one partition per core the most key-skewed partition sets the
+    # stage wall time; smaller partitions let the scheduler smooth the
+    # variance. Profiled on the 6B-point scaling input at 8 and 32
+    # pinned cores: ×2 beats ×4/×8 (per-partition python+Arrow setup
+    # grows with partition count — jobs/encode_profile.py sweep,
+    # BENCH/BASELINE.md). r6: the ceiling is now scaled DOWN for small
+    # inputs (guide §1.2 "per-task work"): every kernel task costs a
+    # python round-trip whether it gets 1 MB or nothing, so tiny tiers
+    # should not fan out to 2×cores tasks — size to ~1 MB of pruned
+    # input per task from Catalyst's size estimate (floor cores/4;
+    # unknown stats estimate to Long.Max and keep the 2× ceiling).
+    # Measured at sf1.0 (28 MB pruned): parts=32 0.80s vs 64 0.90s; on
+    # the 1.7 MB pipeline tier: parts=8 0.42s vs 64 0.75s.
+    p = spark.sparkContext.defaultParallelism
+    if partitions:
+        n_part = partitions
+    else:
+        try:
+            est = int(obs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        except Exception:
+            est = 1 << 62
+        n_part = min(2 * p, max(p // 4, 1, -(-est // (1 << 20))))
     if not pre_partitioned:
         obs = obs.repartition(n_part, *key_cols)
     elif validate_pre_partitioned:

@@ -158,8 +158,13 @@ def sfa_downsample_words(
         n_rows = series.count()
     else:
         n_rows = approx_rows
+    # floor = cores (one kernel call per core fills the cluster in one
+    # wave): the old 4× floor quadrupled the per-group python+Arrow
+    # overhead for nothing at small row counts (r6 sweep: g=32 1.06s vs
+    # g=128 1.60s end-to-end at 233k rows); the data-driven term still
+    # raises G with scale so a group never exceeds ~group_target_rows
     g = max(
-        spark.sparkContext.defaultParallelism * 4,
+        spark.sparkContext.defaultParallelism,
         -(-n_rows // group_target_rows),
     )
     # partition ONCE by the same bucket expression both stages group by,

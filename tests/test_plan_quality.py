@@ -64,8 +64,21 @@ def test_locf_is_join_free(events):
     (lead + sequence explode, LOCF by construction) — no spine join, no
     broadcast of the tier, no second pass for bounds, and the one window
     runs over OBSERVED rows only (before the Generate fan-out)."""
-    t = rollup_tier(events, ["user_id"], "ts", "value", "1h")
+    # filter makes the plan unique so it can't resolve to a cache some
+    # other test file created for the same tier (the CacheManager is
+    # session-wide and matches whole subtrees)
+    t = rollup_tier(
+        events.filter("user_id % 7 != 3"), ["user_id"], "ts", "value", "1h"
+    )
     p = plan_of(gap_fill_locf(t, ["user_id"], "1h"))
+    # assert only on the LOCF operators, which sit above the leaf scan in
+    # the printed tree (root prints first; a cached input would repeat
+    # node names inside its embedded plan text)
+    leaf = min(
+        i for i in (p.find("InMemoryTableScan"), p.find("Scan parquet"), len(p))
+        if i >= 0
+    )
+    p = p[:leaf]
     for node in ("Join", "BroadcastExchange", "CartesianProduct"):
         assert node not in p, f"{node} crept back into the LOCF plan:\n{p[:2000]}"
     assert p.count("Window") == 1  # lead + carry share one window pass
