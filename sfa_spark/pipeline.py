@@ -186,8 +186,12 @@ def sfa_downsample_words(
         # longer read by anything — drop it instead of holding two full
         # copies of the skinny series for the job's lifetime
         pre_cache.unpersist()
+    # (url, signal) ride through the kernel as per-series constants —
+    # the old distinct + broadcast-join back onto the words paid one
+    # aggregation and one exchange per query for names the kernel
+    # already had in hand (r6)
     words = transform_windowing_df(
-        series, model, "series_id", "t", "value", pack=True, group_buckets=g
+        series, model, "series_id", "t", "value", pack=True, group_buckets=g,
+        carry_cols=["url", "signal"],
     )
-    names = series.select("series_id", "url", "signal").distinct()
-    return words.join(names, "series_id").select("url", "signal", "offset", "word")
+    return words.select("url", "signal", "offset", "word")

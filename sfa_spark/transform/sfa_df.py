@@ -163,13 +163,21 @@ def transform_windowing_df(
     pack: bool = True,
     method: str = "mft",
     group_buckets: int | None = None,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Every sliding window of every series → SFA word.
 
-    Output: (key, offset, word) with ``word`` packed into a long (default)
-    or an array<short>. The fitted model travels as a broadcast via the
-    UDF closure (a dict of floats — tiny); no shuffle beyond the
+    Output: (key, carry…, offset, word) with ``word`` packed into a long
+    (default) or an array<short>. The fitted model travels as a broadcast
+    via the UDF closure (a dict of floats — tiny); no shuffle beyond the
     per-series grouping, which reuses the fit stage's partitioning.
+
+    ``carry_cols`` (r6) are per-series-constant columns passed through
+    the kernel (value taken from the series' first row) — callers that
+    need e.g. the (url, signal) naming of a hashed series id get it for
+    free instead of paying a distinct + join back onto the words (one
+    aggregation and one broadcast exchange per query, measured ~0.15s
+    of the headline SFA query at sf1.0).
 
     With ``group_buckets=G`` (same contract as :func:`fit_windowing_df`)
     each coarse pandas group segments its series, stacks equal-length
@@ -179,20 +187,24 @@ def transform_windowing_df(
     the scalar path inside the group.
     """
     model_dict = model.to_dict()
+    carry_cols = list(carry_cols or [])
+    dtypes = dict(df.dtypes)
+    carry_schema = "".join(f"{c} {dtypes[c]}, " for c in carry_cols)
 
     if pack:
-        schema = f"{key_col} long, offset int, word long"
+        schema = f"{key_col} long, {carry_schema}offset int, word long"
     else:
-        schema = f"{key_col} long, offset int, word array<smallint>"
+        schema = f"{key_col} long, {carry_schema}offset int, word array<smallint>"
 
     def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
         m = SFAModel.from_dict(model_dict)
         key = pdf[key_col].iloc[0]
         x = pdf.sort_values(t_col)[value_col].to_numpy(dtype=np.float64)
         words = m.transform_windowing(x, method=method)
-        out = pd.DataFrame(
-            {key_col: key, "offset": np.arange(words.shape[0], dtype=np.int32)}
-        )
+        out = pd.DataFrame({key_col: key}, index=range(words.shape[0]))
+        for c in carry_cols:
+            out[c] = pdf[c].iloc[0]
+        out["offset"] = np.arange(words.shape[0], dtype=np.int32)
         if pack:
             out["word"] = _sfa.pack_words(words, m.word_length, m.needed_bits)
         else:
@@ -204,15 +216,23 @@ def transform_windowing_df(
         pdf = pdf.sort_values([key_col, t_col])
         keys = pdf[key_col].to_numpy()
         vals = pdf[value_col].to_numpy(dtype=np.float64)
+        carr = {c: pdf[c].to_numpy() for c in carry_cols}
         starts = _series_bounds(keys)
         ends = np.append(starts[1:], keys.size)
         lens = ends - starts
         out_keys: list[np.ndarray] = []
+        out_carr: dict[str, list[np.ndarray]] = {c: [] for c in carry_cols}
         out_off: list[np.ndarray] = []
         out_words: list = []
 
-        def emit(k, words):  # words: (n_windows, l) symbols of ONE series
-            out_keys.append(np.full(words.shape[0], k, dtype=np.int64))
+        def emit(i, words):  # words: (n_windows, l) symbols of series i
+            out_keys.append(
+                np.full(words.shape[0], keys[starts[i]], dtype=np.int64)
+            )
+            for c in carry_cols:
+                out_carr[c].append(
+                    np.full(words.shape[0], carr[c][starts[i]], dtype=object)
+                )
             out_off.append(np.arange(words.shape[0], dtype=np.int32))
             if pack:
                 out_words.append(
@@ -230,8 +250,9 @@ def transform_windowing_df(
                 )
                 words3 = _sfa.quantize(approx, m.bins)  # (S, T, l)
                 T = words3.shape[1]
-                ks = keys[starts[sel]]
-                out_keys.append(np.repeat(ks, T))
+                out_keys.append(np.repeat(keys[starts[sel]], T))
+                for c in carry_cols:
+                    out_carr[c].append(np.repeat(carr[c][starts[sel]], T))
                 out_off.append(np.tile(np.arange(T, dtype=np.int32), sel.size))
                 if pack:
                     out_words.append(
@@ -244,14 +265,20 @@ def transform_windowing_df(
             else:
                 for i in sel:
                     emit(
-                        keys[starts[i]],
+                        i,
                         m.transform_windowing(vals[starts[i] : ends[i]], method=method),
                     )
         out = pd.DataFrame(
             {
                 key_col: np.concatenate(out_keys) if out_keys else np.array([], dtype=np.int64),
-                "offset": np.concatenate(out_off) if out_off else np.array([], dtype=np.int32),
             }
+        )
+        for c in carry_cols:
+            out[c] = (
+                np.concatenate(out_carr[c]) if out_carr[c] else np.array([], dtype=object)
+            )
+        out["offset"] = (
+            np.concatenate(out_off) if out_off else np.array([], dtype=np.int32)
         )
         out["word"] = (
             (np.concatenate(out_words) if out_words else np.array([], dtype=np.int64))
