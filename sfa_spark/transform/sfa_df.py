@@ -119,30 +119,54 @@ def fit_windowing_df(
             approx_per_series, schema="coef int, value double"
         )
 
-    def fit_per_coef(pdf: pd.DataFrame) -> pd.DataFrame:
-        coef = int(pdf["coef"].iloc[0])
-        vals = np.sort(pdf["value"].to_numpy(dtype=np.float64))
+    def _fit_edges(vals_sorted: np.ndarray) -> np.ndarray:
         if histogram_type == _sfa.EQUI_DEPTH:
-            edges = _sfa.fit_bins_equi_depth(vals, alphabet_size)
-        else:
-            edges = _sfa.fit_bins_equi_width(vals, alphabet_size)
-        return pd.DataFrame(
-            {
-                "coef": coef,
-                "pos": np.arange(alphabet_size - 1, dtype=np.int32),
-                "edge": edges,
-            }
-        )
+            return _sfa.fit_bins_equi_depth(vals_sorted, alphabet_size)
+        return _sfa.fit_bins_equi_width(vals_sorted, alphabet_size)
 
-    edges_rows = (
-        orderline.repartition(word_length, "coef")
-        .groupBy("coef")
-        .applyInPandas(fit_per_coef, schema="coef int, pos int, edge double")
-        .collect()
-    )
+    # r6: when the orderline is provably small (row-count statistics are
+    # exact on cached/counted inputs), collect it and fit the per-coef
+    # edges in driver numpy — same sort, same edge walk, identical bins,
+    # but the exchange + second python stage + per-stage AQE round-trips
+    # collapse into one collect of a few-MB table. The distributed
+    # per-coef path remains for unknown or large inputs (a 100 TB fit on
+    # an unbounded sample keeps its exact distributed sort).
+    est_orderline = None
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            est_orderline = int(str(rc.get())) // window_size * wl
+    except Exception:
+        est_orderline = None
     bins = np.full((wl, alphabet_size - 1), np.inf)
-    for r in edges_rows:
-        bins[r["coef"], r["pos"]] = r["edge"]
+    if est_orderline is not None and est_orderline <= 2_000_000:
+        pdf = orderline.toPandas()
+        coefs = pdf["coef"].to_numpy()
+        values = pdf["value"].to_numpy(dtype=np.float64)
+        for c in range(wl):
+            vals = np.sort(values[coefs == c])
+            if vals.size:  # no windows at all ⇒ row stays inf, as the
+                bins[c, :] = _fit_edges(vals)  # distributed path leaves it
+    else:
+        def fit_per_coef(pdf: pd.DataFrame) -> pd.DataFrame:
+            coef = int(pdf["coef"].iloc[0])
+            vals = np.sort(pdf["value"].to_numpy(dtype=np.float64))
+            return pd.DataFrame(
+                {
+                    "coef": coef,
+                    "pos": np.arange(alphabet_size - 1, dtype=np.int32),
+                    "edge": _fit_edges(vals),
+                }
+            )
+
+        edges_rows = (
+            orderline.repartition(word_length, "coef")
+            .groupBy("coef")
+            .applyInPandas(fit_per_coef, schema="coef int, pos int, edge double")
+            .collect()
+        )
+        for r in edges_rows:
+            bins[r["coef"], r["pos"]] = r["edge"]
     return SFAModel(
         word_length=wl,
         alphabet_size=alphabet_size,
