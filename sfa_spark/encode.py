@@ -220,46 +220,186 @@ def encode_tier_blocks_gapfill(
     def encode_partition(batches):
         # STREAMING kernel: Arrow batches are processed as they arrive —
         # the only rows held across batches are the current key's
-        # not-yet-complete trailing block (≤max_block observed rows) plus
-        # its LOCF carry value. Memory is O(arrow_batch + max_block), NOT
+        # not-yet-complete trailing rows plus its LOCF carry value.
+        # Memory is O(arrow_batch + pending key window), NOT
         # O(partition): a skewed key's multi-year history never sits in
-        # RAM at once. Correctness relies on the repartition+sort above —
-        # a key's rows are contiguous and time-ordered across batches.
+        # RAM at once (advance_key drains its completed blocks whenever
+        # the pending buffer exceeds 4·max_block rows). Correctness
+        # relies on the repartition+sort above — a key's rows are
+        # contiguous and time-ordered across batches.
+        #
+        # r6: keys fully contained in one Arrow batch — the common case
+        # (short keys, many of them) — are emitted by ONE vectorized
+        # pass over the whole batch (``emit_keys_vec``): block spine,
+        # LOCF carries, run values/lengths and dense-DoD blobs are all
+        # computed with array ops instead of a per-key + per-block
+        # python loop (the loop was ~30 µs/block × 172k blocks ≈ 60% of
+        # kernel CPU at sf1.0 in the UDF profiler). The scalar path
+        # below survives only for keys that span batch boundaries.
+        # Output blocks are byte-identical either way (tested).
 
-        # columnar accumulators — per-block python overhead kept to
-        # appends; the value runs are only ENCODED at flush time, all
-        # blocks in one vectorized pass (gorilla_encode_runs_blocks —
-        # per-block numpy dispatch was ~60% of kernel CPU)
+        # columnar accumulators: lists of per-chunk numpy arrays; runs
+        # are (vals, lens, runs_per_block) triples concatenated at flush
+        # so the whole flush Gorilla-encodes in one vectorized call
         acc: dict[str, list] = {c: [] for c in key_cols}
-        acc.update(block_id=[], start_us=[], n=[], dod=[], runs_v=[], runs_l=[])
+        acc.update(block_id=[], start_us=[], n=[], runs=[])
+        acc_dod: list[bytes] = []
+        n_acc_blocks = 0
+        pads: dict[int, bytes] = {}
 
         def flush():
-            bounds = np.zeros(len(acc["runs_v"]) + 1, dtype=np.int64)
-            np.cumsum([a.size for a in acc["runs_v"]], out=bounds[1:])
+            nonlocal n_acc_blocks
+            rpb = np.concatenate([r[2] for r in acc["runs"]])
+            bounds = np.zeros(rpb.size + 1, dtype=np.int64)
+            np.cumsum(rpb, out=bounds[1:])
             gor = gorilla_encode_runs_blocks(
-                np.concatenate(acc["runs_v"]),
-                np.concatenate(acc["runs_l"]),
+                np.concatenate([r[0] for r in acc["runs"]]),
+                np.concatenate([r[1] for r in acc["runs"]]),
                 bounds,
             )
+            n_arr = np.concatenate(acc["n"]).astype(np.int32)
             out = pd.DataFrame(
                 {
-                    **{c: acc[c] for c in key_cols},
-                    "block_id": acc["block_id"],
+                    **{c: np.concatenate(acc[c]) for c in key_cols},
+                    "block_id": np.concatenate(acc["block_id"]),
                     "start_ts": pd.to_datetime(
-                        np.asarray(acc["start_us"], dtype=np.int64), unit="us"
+                        np.concatenate(acc["start_us"]), unit="us"
                     ),
-                    "n": np.asarray(acc["n"], dtype=np.int32),
-                    "dod_blob": acc["dod"],
+                    "n": n_arr,
+                    "dod_blob": list(acc_dod),
                     "gorilla_blob": gor,
                 }
             )
             out["raw_bytes"] = out["n"].astype(np.int64) * 16
-            out["enc_bytes"] = [len(a) + len(b) for a, b in zip(acc["dod"], gor)]
+            out["enc_bytes"] = [len(a) + len(b) for a, b in zip(acc_dod, gor)]
             for v in acc.values():
                 v.clear()
+            acc_dod.clear()
+            n_acc_blocks = 0
             return out
 
-        # per-key streaming state
+        def dod_dense_batch(n_ts, start):
+            """Dense-DoD blobs for many blocks at once — byte-identical
+            to ``dod_encode_dense(start, bucket_us, n)`` per block: the
+            24-byte big-endian (n, t0, step) header plus (n-2+7)//8 zero
+            bytes (n==1 blobs are the first 16 header bytes alone)."""
+            B = n_ts.size
+            hdr = np.empty((B, 3), dtype=np.int64)
+            hdr[:, 0] = n_ts
+            hdr[:, 1] = start
+            hdr[:, 2] = bucket_us
+            mv = memoryview(hdr.astype(">u8").tobytes())
+            pad_len = (n_ts - 2 + 7) >> 3
+            out = []
+            for j in range(B):
+                if n_ts[j] >= 2:
+                    L = int(pad_len[j])
+                    p = pads.get(L)
+                    if p is None:
+                        p = pads[L] = bytes(L)
+                    out.append(bytes(mv[24 * j : 24 * j + 24]) + p)
+                else:  # n == 1: (n, t0) header only
+                    out.append(bytes(mv[24 * j : 24 * j + 16]))
+            return out
+
+        def emit_keys_vec(us_all, v_all, key_arrays, kstarts, kends):
+            """Vectorized emit of ALL blocks of complete, fresh keys
+            (row slices ``kstarts[i]:kends[i]``, none previously
+            started). Replicates emit_blocks per key exactly: first
+            block start-clamped to the first observation, last block
+            end-clamped to the last, NaN observations carry no value."""
+            nonlocal n_acc_blocks
+            nk = kstarts.size
+            # row arrays restricted to the bulk span (keys are
+            # contiguous, so one slice covers them all)
+            lo, hi = int(kstarts[0]), int(kends[-1])
+            us = us_all[lo:hi]
+            v = v_all[lo:hi]
+            ks = kstarts - lo
+            ke = kends - lo
+            kfirst = us[ks]
+            klast = us[ke - 1]
+            b0 = kfirst // chunk_us
+            nb = (klast // chunk_us - b0 + 1).astype(np.int64)
+            B = int(nb.sum())
+            cumnb = np.zeros(nk + 1, dtype=np.int64)
+            np.cumsum(nb, out=cumnb[1:])
+            blk_key = np.repeat(np.arange(nk), nb)  # key ordinal per block
+            within = np.arange(B, dtype=np.int64) - cumnb[blk_key]
+            block_id = b0[blk_key] + within
+            natural = block_id * chunk_us
+            start = np.where(within == 0, kfirst[blk_key], natural)
+            end = np.where(
+                within == nb[blk_key] - 1,
+                klast[blk_key],
+                natural + chunk_us - bucket_us,
+            )
+            n_ts = (end - start) // bucket_us + 1
+
+            # rows → global block ordinal
+            rk = np.repeat(np.arange(nk), ke - ks)
+            gblk = cumnb[rk] + (us // chunk_us - b0[rk])
+            valid = ~np.isnan(v)
+            vblk = gblk[valid]
+            nvalid = np.bincount(vblk, minlength=B)
+            vidx = (us[valid] - start[vblk]) // bucket_us
+            vval = v[valid]
+            cnv = np.zeros(B + 1, dtype=np.int64)
+            np.cumsum(nvalid, out=cnv[1:])
+            word = np.arange(vblk.size, dtype=np.int64) - cnv[vblk]
+
+            # carry entering each block = last valid value of the
+            # nearest prior block WITH a valid observation, same key
+            lastv = np.empty(B, dtype=np.float64)
+            sel_last = word == nvalid[vblk] - 1  # unique per non-empty block
+            lastv[vblk[sel_last]] = vval[sel_last]
+            hasv = nvalid > 0
+            run = np.maximum.accumulate(
+                np.where(hasv, np.arange(B, dtype=np.int64), -1)
+            )
+            prev_run = np.empty(B, dtype=np.int64)
+            prev_run[0] = -1
+            prev_run[1:] = run[:-1]
+            ok = prev_run >= cumnb[blk_key]  # prior block of the SAME key
+            carry = np.where(ok, lastv[np.maximum(prev_run, 0)], np.nan)
+
+            # run layout per block: [carry] + one run per valid row
+            rpb = 1 + nvalid
+            roff = np.zeros(B + 1, dtype=np.int64)
+            np.cumsum(rpb, out=roff[1:])
+            R = int(roff[-1])
+            run_vals = np.empty(R, dtype=np.float64)
+            run_lens = np.empty(R, dtype=np.int64)
+            run_vals[roff[:-1]] = carry
+            vpos = roff[vblk] + 1 + word
+            run_vals[vpos] = vval
+            # carry-run length: first valid row's bucket index, or the
+            # whole block when it has no valid observation
+            carry_len = n_ts.copy()
+            sel_first = word == 0
+            carry_len[vblk[sel_first]] = vidx[sel_first]
+            run_lens[roff[:-1]] = carry_len
+            # valid-row run lengths: to the next valid row in the same
+            # block, or to the block end for its last valid row
+            if vblk.size:
+                nxt = np.empty(vblk.size, dtype=np.int64)
+                nxt[:-1] = vidx[1:]
+                nxt[-1] = 0  # masked below
+                same = np.empty(vblk.size, dtype=bool)
+                same[:-1] = vblk[1:] == vblk[:-1]
+                same[-1] = False
+                run_lens[vpos] = np.where(same, nxt - vidx, n_ts[vblk] - vidx)
+
+            for c, arr in zip(key_cols, key_arrays):
+                acc[c].append(np.repeat(arr[kstarts], nb))
+            acc["block_id"].append(block_id)
+            acc["start_us"].append(start)
+            acc["n"].append(n_ts)
+            acc_dod.extend(dod_dense_batch(n_ts, start))
+            acc["runs"].append((run_vals, run_lens, rpb))
+            n_acc_blocks += B
+
+        # per-key streaming state (scalar path: batch-spanning keys)
         cur_key: tuple | None = None  # key tuple of the pending rows
         pend_us = np.empty(0, dtype=np.int64)
         pend_v = np.empty(0, dtype=np.float64)
@@ -271,7 +411,7 @@ def encode_tier_blocks_gapfill(
             """Encode blocks b0..b1 (inclusive) of one key. ``first_lo``
             clamps the first-ever block's start; ``hi`` clamps the final
             block's end (None → natural block end)."""
-            nonlocal carry_v
+            nonlocal carry_v, n_acc_blocks
             for block_id in range(b0, b1 + 1):
                 start = block_id * chunk_us
                 if first_lo is not None and block_id == b0:
@@ -304,16 +444,18 @@ def encode_tier_blocks_gapfill(
                     run_vals = np.array([carry_v])
                     run_lens = np.array([n_ts], dtype=np.int64)
                 for c, kv in zip(key_cols, kvals):
-                    acc[c].append(kv)
-                acc["block_id"].append(block_id)
-                acc["start_us"].append(start)
-                acc["n"].append(n_ts)
+                    acc[c].append(np.asarray([kv]))
+                acc["block_id"].append(np.asarray([block_id], dtype=np.int64))
+                acc["start_us"].append(np.asarray([start], dtype=np.int64))
+                acc["n"].append(np.asarray([n_ts], dtype=np.int64))
                 # gap-filled timestamps are a dense arithmetic sequence —
                 # their DoD stream is constructible without the generic
                 # delta/bit-scatter pipeline (byte-identical, tested)
-                acc["dod"].append(dod_encode_dense(start, bucket_us, n_ts))
-                acc["runs_v"].append(run_vals)
-                acc["runs_l"].append(run_lens)
+                acc_dod.append(dod_encode_dense(start, bucket_us, n_ts))
+                acc["runs"].append(
+                    (run_vals, run_lens, np.asarray([run_vals.size]))
+                )
+                n_acc_blocks += 1
 
         def finish_key():
             """Emit all remaining blocks of cur_key (end clamped at its
@@ -362,20 +504,45 @@ def encode_tier_blocks_gapfill(
                 change[1:] |= a[1:] != a[:-1]
             starts = np.flatnonzero(change)
             ends = np.append(starts[1:], len(pdf))
-            for s, e in zip(starts, ends):
-                kvals = tuple(a[s] for a in key_arrays)
-                if kvals != cur_key:
+
+            seg_lo = 0
+            first_key = tuple(a[starts[0]] for a in key_arrays)
+            if cur_key is not None and first_key == cur_key:
+                # continuation of the pending key: absorb its rows; if
+                # more segments follow, the key is complete — finish it
+                # through the scalar path (it may be mid-stream)
+                s, e = int(starts[0]), int(ends[0])
+                pend_us = np.concatenate([pend_us, us_all[s:e]])
+                pend_v = np.concatenate([pend_v, v_all[s:e]])
+                seg_lo = 1
+                if starts.size > 1:
                     finish_key()
-                    cur_key = kvals
-                    pend_us, pend_v = us_all[s:e].copy(), v_all[s:e].copy()
-                else:
-                    pend_us = np.concatenate([pend_us, us_all[s:e]])
-                    pend_v = np.concatenate([pend_v, v_all[s:e]])
+                    cur_key = None
+            elif cur_key is not None:
+                finish_key()
+                cur_key = None
+
+            # all segments except the batch's last are complete fresh
+            # keys — one vectorized emit for the lot
+            if starts.size - seg_lo >= 2:
+                emit_keys_vec(
+                    us_all, v_all, key_arrays,
+                    starts[seg_lo:-1], ends[seg_lo:-1],
+                )
+            # the last segment may continue into the next batch: pend it
+            if starts.size > seg_lo:
+                s, e = int(starts[-1]), int(ends[-1])
+                cur_key = tuple(a[s] for a in key_arrays)
+                pend_us = us_all[s:e].copy()
+                pend_v = v_all[s:e].copy()
+            # skew guard: a huge key never accumulates unbounded pending
+            # rows — drain its completed blocks and keep the tail
+            if pend_us.size > 4 * max_block:
                 advance_key()
-                if len(acc["n"]) >= 4096:
-                    yield flush()
+            if n_acc_blocks >= 4096:
+                yield flush()
         finish_key()
-        if acc["n"]:
+        if n_acc_blocks:
             yield flush()
 
     return obs.mapInPandas(encode_partition, schema=schema)
