@@ -245,8 +245,14 @@ def bpe_token_counts(
     ).filter(F.length("w") > 0)
     distinct = words.select("w").distinct()
     encoded = distinct.mapInPandas(kern, "w string, n_tok long")
+    # r6: no forced broadcast — on a web-scale corpus the distinct-word
+    # table (URLs, typos, code) runs to 10⁸-10⁹ rows, far past broadcast
+    # limits. AQE picks the strategy from the RUNTIME size of the encode
+    # stage: small word tables still become a broadcast join (verified in
+    # the plan gate), huge ones stay a shuffled join instead of OOMing
+    # the driver.
     return (
-        words.join(F.broadcast(encoded), "w")
+        words.join(encoded, "w")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_words"),

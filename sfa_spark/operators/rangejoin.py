@@ -82,12 +82,22 @@ def interval_join(
         us(point_ts) <= us(end_col) if inclusive_end else us(point_ts) < us(end_col)
     )
     cond = (us(point_ts) >= us(start_col)) & upper
-    joined = l.join(r, [*on, "_bucket"], "inner").filter(cond)
-    out = joined.select(*points.columns, *ivl_cols)
-    if how == "left":
-        matched = out.select(*points.columns).distinct()
-        unmatched = points.join(matched, points.columns, "left_anti")
-        for c, t in intervals.select(*ivl_cols).dtypes:
-            unmatched = unmatched.withColumn(c, F.lit(None).cast(t))
-        out = out.unionByName(unmatched)
-    return out
+    if how == "inner":
+        joined = l.join(r, [*on, "_bucket"], "inner").filter(cond)
+        return joined.select(*points.columns, *ivl_cols)
+    # how='left' (r6): ONE left hash join with the range predicate as a
+    # join condition — a point still meets each containing interval in
+    # exactly one bucket (its own), and a point whose bucket holds no
+    # satisfying interval is emitted once with null interval columns.
+    # Replaces the distinct + left_anti formulation, which re-scanned the
+    # points side twice AND dropped+duplicated point rows containing
+    # NULLs (the anti join's equality never matches a NULL to itself).
+    la, ra = l.alias("_l"), r.alias("_r")
+    join_cond = cond
+    for c in [*on, "_bucket"]:
+        join_cond = (F.col(f"_l.{c}") == F.col(f"_r.{c}")) & join_cond
+    joined = la.join(ra, join_cond, "left")
+    return joined.select(
+        *[F.col(f"_l.{c}") for c in points.columns],
+        *[F.col(f"_r.{c}") for c in ivl_cols],
+    )

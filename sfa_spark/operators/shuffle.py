@@ -11,13 +11,20 @@ seed), independent of partitioning, insert order, or cluster size:
 * new epoch    = new seed → an independent permutation, no reshuffle of
   stored data, just a different sort key.
 
-Scale: one hash (JVM codegen) + one per-shard rank. The rank's
-``row_number`` sorts WITHIN each shard — n_shards independent sorts of
-corpus/n_shards rows each, which is exactly the partitioned sort a
-cluster can do without a global order barrier (``repartition(shard)``
-first on a real cluster keeps each sort node-local). Readers then
-consume ``ORDER BY pos`` per shard — sequential scans of pre-sorted
-parquet when the shard table is written sorted.
+Scale: one hash (JVM codegen) + a TWO-LEVEL rank (r6). A plain
+``row_number`` over ``partitionBy(shard)`` makes one task sort a whole
+shard — corpus/n_shards rows in a single task, ~10⁹ rows at the
+docstring's own 10¹² scenario. Instead each shard is split into 2^k
+ORDER-ALIGNED hash ranges (``shiftright(hash, 64-k)`` — every row of
+sub-range s sorts strictly before every row of s+1, ties impossible
+across ranges because equal hashes share a range), rows are ranked
+within (shard, sub-range), and the dense shard-wide ``pos`` is the
+sub-range rank plus a prefix-sum offset from the tiny
+(n_shards × 2^k)-row count table, broadcast back. Identical pos values
+to the single-window formulation (rank composes over an order-aligned
+partition), but the biggest sort is now corpus/(n_shards·2^k) rows.
+Readers consume ``ORDER BY pos`` per shard — sequential scans of
+pre-sorted parquet when the shard table is written sorted.
 
 Collisions: xxhash64 over distinct longs collides with probability
 ~n^2/2^65; a tie would make ``pos`` assignment partition-dependent, so
@@ -38,19 +45,41 @@ def shuffle_shards(
     id_col: str,
     seed: int,
     n_shards: int,
+    sub_splits_log2: int = 6,
 ) -> DataFrame:
     """Assign every row a (shard, pos) for seeded-epoch reading.
 
     Output: all input columns + (shard, pos); ``pos`` is 0-based and
-    dense within each shard.
+    dense within each shard. ``2^sub_splits_log2`` order-aligned hash
+    sub-ranges per shard bound the largest single sort (module
+    docstring) — any value yields identical pos.
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    k = int(sub_splits_log2)
     h = F.xxhash64(F.col(id_col), F.lit(int(seed)).cast("long"))
-    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
-    return (
+    base = (
         df.withColumn("_h", h)
         .withColumn("shard", F.pmod(F.col("_h"), F.lit(int(n_shards))))
-        .withColumn("pos", F.row_number().over(w) - 1)
-        .drop("_h")
+        # arithmetic shift keeps SIGNED hash order: sub-range s holds
+        # exactly the hashes ranking before sub-range s+1's
+        .withColumn("_sub", F.shiftright(F.col("_h"), 64 - k))
+    )
+    wloc = Window.partitionBy("shard", "_sub").orderBy(F.col("_h"), F.col(id_col))
+    woff = (
+        Window.partitionBy("shard")
+        .orderBy("_sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("shard", "_sub")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_off", F.coalesce(F.sum("_c").over(woff), F.lit(0)))
+        .drop("_c")
+    )
+    return (
+        base.withColumn("_lpos", F.row_number().over(wloc))
+        .join(F.broadcast(offsets), ["shard", "_sub"])
+        .withColumn("pos", F.col("_off") + F.col("_lpos") - 1)
+        .select(*df.columns, "shard", "pos")
     )

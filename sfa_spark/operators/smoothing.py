@@ -86,7 +86,23 @@ def ewma(
         out[out_col] = y
         return out
 
-    return sel.groupBy(*key_cols).applyInPandas(kernel, out_schema)
+    return _grouped(sel, key_cols).applyInPandas(kernel, out_schema)
+
+
+def _grouped(sel: DataFrame, key_cols: list[str]):
+    """Coarse pmod-bucket grouping for the smoothing kernels (r6): with
+    ``groupBy(*key_cols)`` each pandas call received exactly ONE series,
+    so the padded (n_series × max_len) pivot always had one row and the
+    documented cross-series vectorization never engaged. Bucketing
+    ``xxhash64(keys) mod parallelism`` (the sfa_words batching trick)
+    hands each kernel call many series; per-series results are identical
+    because the kernel already segments by the sorted key columns."""
+    if not key_cols:
+        return sel.groupBy()
+    spark = sel.sparkSession
+    g = spark.sparkContext.defaultParallelism
+    grp = F.pmod(F.xxhash64(*key_cols), F.lit(g)).cast("int")
+    return sel.groupBy(grp.alias("_grp"))
 
 
 def holt(
@@ -164,4 +180,4 @@ def holt(
         out["forecast_1"] = out["level"] + out["trend"]
         return out
 
-    return sel.groupBy(*key_cols).applyInPandas(kernel, out_schema)
+    return _grouped(sel, key_cols).applyInPandas(kernel, out_schema)

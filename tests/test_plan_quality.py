@@ -288,3 +288,59 @@ def test_shuffle_shards_all_jvm(documents):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
     # the rank sorts WITHIN shards (partitioned sort), not globally
     assert "Exchange rangepartitioning" not in p, p
+    # r6: two-level rank — the big-table window partitions by
+    # (shard, sub-range), so no single task ever sorts a whole shard
+    assert "windowspecdefinition(shard" in p and "_sub" in p, p
+
+
+def test_shuffle_shards_two_level_rank_matches_single_window(spark, documents):
+    """The two-level (sub-range rank + prefix-sum offset) pos must equal
+    the single-window rank exactly, for several sub-split widths."""
+    from pyspark.sql.window import Window as W
+
+    from sfa_spark.operators.shuffle import shuffle_shards
+
+    d = documents.select("doc_id")
+    h = F.xxhash64(F.col("doc_id"), F.lit(7).cast("long"))
+    ref = (
+        d.withColumn("_h", h)
+        .withColumn("shard", F.pmod(F.col("_h"), F.lit(8)))
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                W.partitionBy("shard").orderBy(F.col("_h"), F.col("doc_id"))
+            )
+            - 1,
+        )
+        .drop("_h")
+        .toPandas()
+        .sort_values(["shard", "pos"])
+        .reset_index(drop=True)
+    )
+    ref = ref.astype("int64")
+    for k in (1, 3, 6):
+        got = (
+            shuffle_shards(d, "doc_id", 7, 8, sub_splits_log2=k)
+            .toPandas()
+            .sort_values(["shard", "pos"])
+            .reset_index(drop=True)
+            .astype("int64")
+        )
+        assert got.equals(ref), f"sub_splits_log2={k} diverged"
+
+
+def test_bpe_token_counts_join_not_force_broadcast(spark, documents):
+    """r6: the word→token-count join must not FORCE a broadcast (the
+    distinct-word table is 10⁸+ rows on a web corpus); AQE picks the
+    strategy from the runtime stage size, which for this small corpus
+    still lands on a broadcast join."""
+    from sfa_spark.operators.bpe import bpe_token_counts, train_bpe
+
+    docs = documents.select("doc_id", "text").limit(50)
+    merges = train_bpe(spark, docs, n_merges=10)
+    out = bpe_token_counts(spark, docs, merges)
+    init = plan_of(out)
+    assert "ResolvedHint" not in init, init[:1500]
+    out.count()  # materialize so AQE finalizes the join choice
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final, final[:2000]
