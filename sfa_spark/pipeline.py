@@ -178,7 +178,7 @@ def sfa_downsample_words(
     model = fit_windowing_df(
         series, "series_id", "t", "value",
         window_size, word_length, alphabet_size, norm_mean=True,
-        group_buckets=g,
+        group_buckets=g, approx_rows=n_rows,
     )
     if pre_cache is not None:
         # the fit stage materialized the repartitioned cache (bin edges

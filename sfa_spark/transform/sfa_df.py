@@ -48,6 +48,7 @@ def fit_windowing_df(
     lower_bounding: bool = True,
     histogram_type: str = _sfa.EQUI_DEPTH,
     group_buckets: int | None = None,
+    approx_rows: int | None = None,
 ) -> SFAModel:
     """Fit MCB bins on the disjoint windows of every series in ``df``.
 
@@ -131,13 +132,20 @@ def fit_windowing_df(
     # collapse into one collect of a few-MB table. The distributed
     # per-coef path remains for unknown or large inputs (a 100 TB fit on
     # an unbounded sample keeps its exact distributed sort).
+    # callers that already know the input size pass ``approx_rows`` (the
+    # pipeline's tier row count rides along for free); the stats probe
+    # only answers for plans whose row count survives Catalyst's
+    # size-only estimator (cached leaves — a Project on top drops it)
     est_orderline = None
-    try:
-        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
-        if rc.isDefined():
-            est_orderline = int(str(rc.get())) // window_size * wl
-    except Exception:
-        est_orderline = None
+    if approx_rows is not None:
+        est_orderline = int(approx_rows) // window_size * wl
+    else:
+        try:
+            rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+            if rc.isDefined():
+                est_orderline = int(str(rc.get())) // window_size * wl
+        except Exception:
+            est_orderline = None
     bins = np.full((wl, alphabet_size - 1), np.inf)
     if est_orderline is not None and est_orderline <= 2_000_000:
         pdf = orderline.toPandas()
@@ -265,33 +273,69 @@ def transform_windowing_df(
             else:
                 out_words.extend(list(words))
 
-        for n in np.unique(lens):
-            sel = np.flatnonzero(lens == n)
-            if n >= m.window_size and method == "mft" and sel.size > 1:
-                X = np.stack([vals[starts[i] : ends[i]] for i in sel])
-                approx = _mft.transform_windowing_rows(
-                    X, m.window_size, m.word_length, m.norm_mean, m.lower_bounding
+        # r6: ONE padded matrix pass for every mft-eligible series in the
+        # group, not one pass per equal-length class (series lengths are
+        # nearly unique in practice, so the class loop degenerated to the
+        # scalar per-series path — 546 scalar calls vs 117 matrix calls
+        # in the UDF profiler). The sliding MFT recurrence, the window
+        # mean/std cumsums and the quantize are all strictly per-row and
+        # prefix-local (window t reads values [t, t+w) only), so the
+        # first Li-w+1 outputs of a zero-padded row are BIT-identical to
+        # running that series at its exact length; padded offsets are
+        # sliced away. Scalar fallback stays for sub-window series, for
+        # non-mft methods, and for pathological padding blow-ups.
+        elig = (
+            np.flatnonzero(lens >= m.window_size)
+            if method == "mft"
+            else np.array([], dtype=np.int64)
+        )
+        pad_ok = elig.size > 0 and elig.size * int(
+            lens[elig].max()
+        ) <= 4 * int(lens[elig].sum())
+        if pad_ok:
+            L = lens[elig]
+            Lmax = int(L.max())
+            X = np.zeros((elig.size, Lmax), dtype=np.float64)
+            rowmask = np.arange(Lmax)[None, :] < L[:, None]
+            X[rowmask] = np.concatenate(
+                [vals[starts[i] : ends[i]] for i in elig]
+            )
+            approx = _mft.transform_windowing_rows(
+                X, m.window_size, m.word_length, m.norm_mean, m.lower_bounding
+            )
+            words3 = _sfa.quantize(approx, m.bins)  # (S, Tmax, l)
+            Ts = L - m.window_size + 1
+            Tmax = words3.shape[1]
+            offmask = np.arange(Tmax)[None, :] < Ts[:, None]
+            out_keys.append(np.repeat(keys[starts[elig]], Ts))
+            for c in carry_cols:
+                out_carr[c].append(np.repeat(carr[c][starts[elig]], Ts))
+            out_off.append(
+                np.broadcast_to(
+                    np.arange(Tmax, dtype=np.int32), offmask.shape
+                )[offmask]
+            )
+            if pack:
+                out_words.append(
+                    _sfa.pack_words(words3, m.word_length, m.needed_bits)[
+                        offmask
+                    ]
                 )
-                words3 = _sfa.quantize(approx, m.bins)  # (S, T, l)
-                T = words3.shape[1]
-                out_keys.append(np.repeat(keys[starts[sel]], T))
-                for c in carry_cols:
-                    out_carr[c].append(np.repeat(carr[c][starts[sel]], T))
-                out_off.append(np.tile(np.arange(T, dtype=np.int32), sel.size))
-                if pack:
-                    out_words.append(
-                        _sfa.pack_words(
-                            words3, m.word_length, m.needed_bits
-                        ).ravel()
-                    )
-                else:
-                    out_words.extend(list(words3.reshape(-1, words3.shape[-1])))
             else:
-                for i in sel:
-                    emit(
-                        i,
-                        m.transform_windowing(vals[starts[i] : ends[i]], method=method),
-                    )
+                out_words.extend(list(words3[offmask]))
+        # everything the padded pass did not cover goes scalar: sub-window
+        # series when it ran, every series when it did not (non-mft
+        # method, no eligible series, or padding blow-up)
+        scalar = (
+            np.flatnonzero(lens < m.window_size)
+            if pad_ok
+            else np.arange(lens.size)
+        )
+        for i in scalar:
+            emit(
+                i,
+                m.transform_windowing(vals[starts[i] : ends[i]], method=method),
+            )
         out = pd.DataFrame(
             {
                 key_col: np.concatenate(out_keys) if out_keys else np.array([], dtype=np.int64),
