@@ -63,16 +63,20 @@ def counter_increase(
         F.when(v >= prev, v - prev).otherwise(v)
     )
     reset = F.when(prev.isNotNull() & (v < prev), F.lit(1)).otherwise(F.lit(0))
+    # bucket_expr is computed in the SECOND select, after the window's
+    # exchange: putting it in the first select pinned the date_trunc into
+    # the pre-shuffle (scan) stage, which on an unsplittable input is a
+    # single task (r6 plan audit) — deferred, it runs distributed
     return (
         df.select(
             *key_cols,
-            bucket_expr(ts_col, tier).alias("bucket_ts"),
+            F.col(ts_col),
             F.col(counter_col),
             F.lag(counter_col).over(w).alias("_prev"),
         )
         .select(
             *key_cols,
-            "bucket_ts",
+            bucket_expr(ts_col, tier).alias("bucket_ts"),
             delta.alias("_d"),
             reset.alias("_r"),
         )
