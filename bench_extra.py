@@ -34,11 +34,13 @@ def _spark(ui: bool = False):
                      extra_conf=extra)
 
 
-def headline_dfs(spark, sf_dir: str, n_urls: int = 400):
+def headline_dfs(spark, sf_dir: str, n_urls: int | None = None):
     """Build (name -> DataFrame) for every headline + hyperfunction query,
     mirroring bench.py's dataflow (cached tier etc.)."""
     import bench
 
+    if n_urls is None:  # same knob the frozen bench honors
+        n_urls = int(os.environ.get("SPARK_GRAFT_PAGES", "400"))
     bench._warm_workers(spark, spark.sparkContext.defaultParallelism)
     from sfa_spark.encode import encode_tier_blocks_gapfill
     from sfa_spark.generator import generate_pages

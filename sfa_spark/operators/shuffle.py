@@ -52,18 +52,33 @@ def shuffle_shards(
     Output: all input columns + (shard, pos); ``pos`` is 0-based and
     dense within each shard. ``2^sub_splits_log2`` order-aligned hash
     sub-ranges per shard bound the largest single sort (module
-    docstring) — any value yields identical pos.
+    docstring) — any value in [1, 32] yields identical pos.
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     k = int(sub_splits_log2)
+    if not 1 <= k <= 32:
+        # k=0 would degenerate (shiftright masks the shift amount to 0 in
+        # the JVM, making _sub the full hash and the offsets table one
+        # row per distinct id — a driver-OOM broadcast at scale)
+        raise ValueError(f"sub_splits_log2 must be in [1, 32], got {k}")
     h = F.xxhash64(F.col(id_col), F.lit(int(seed)).cast("long"))
+    spark = df.sparkSession
     base = (
         df.withColumn("_h", h)
         .withColumn("shard", F.pmod(F.col("_h"), F.lit(int(n_shards))))
         # arithmetic shift keeps SIGNED hash order: sub-range s holds
         # exactly the hashes ranking before sub-range s+1's
         .withColumn("_sub", F.shiftright(F.col("_h"), 64 - k))
+        # ONE shuffle feeds BOTH consumers (the rank window and the
+        # count aggregate): each requires clustering by (shard, _sub),
+        # so this explicit exchange satisfies both and AQE's stage cache
+        # reuses the materialized shuffle (verified at runtime: exactly
+        # one scan stage executes) — without it the full corpus would be
+        # scanned and hashed twice
+        .repartition(
+            spark.sparkContext.defaultParallelism * 2, "shard", "_sub"
+        )
     )
     wloc = Window.partitionBy("shard", "_sub").orderBy(F.col("_h"), F.col(id_col))
     woff = (

@@ -69,7 +69,21 @@ def ewma(
         starts = np.flatnonzero(new)
         lens = np.diff(np.append(starts, len(pdf)))
         n_series, max_len = len(starts), int(lens.max()) if len(lens) else 0
-        y = np.empty(len(pdf), dtype=np.float64)
+        if n_series and n_series * max_len > 8 * len(pdf):
+            # pathological length skew: the padded pivot would inflate
+            # memory >8× — run the identical recurrence per series (same
+            # float ops elementwise → bit-identical, O(len) memory)
+            y = np.empty(len(pdf), dtype=np.float64)
+            for s, ln in zip(starts, lens):
+                xs = x[s : s + ln]
+                cur = xs[0]
+                y[s] = cur
+                for t in range(1, ln):
+                    cur = a * xs[t] + d * cur
+                    y[s + t] = cur
+            out = pdf.copy()
+            out[out_col] = y
+            return out
         # pivot: padded matrix, one sweep over the time axis
         xm = np.zeros((n_series, max_len), dtype=np.float64)
         mask = np.arange(max_len)[None, :] < lens[:, None]
@@ -94,13 +108,24 @@ def _grouped(sel: DataFrame, key_cols: list[str]):
     ``groupBy(*key_cols)`` each pandas call received exactly ONE series,
     so the padded (n_series × max_len) pivot always had one row and the
     documented cross-series vectorization never engaged. Bucketing
-    ``xxhash64(keys) mod parallelism`` (the sfa_words batching trick)
-    hands each kernel call many series; per-series results are identical
-    because the kernel already segments by the sorted key columns."""
+    ``xxhash64(keys) mod G`` (the sfa_words batching trick) hands each
+    kernel call many series; per-series results are identical because
+    the kernel already segments by the sorted key columns.
+
+    G scales with the input — an applyInPandas group is one pandas frame
+    in one task, so it is floored at the parallelism AND raised so a
+    group holds ~8 MB of input by Catalyst's size estimate (unknown
+    estimates are Long.Max and land on the row-bound cap, keeping groups
+    bounded rather than cores-sized)."""
     if not key_cols:
         return sel.groupBy()
     spark = sel.sparkSession
-    g = spark.sparkContext.defaultParallelism
+    p = spark.sparkContext.defaultParallelism
+    try:
+        est = int(sel._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est = 1 << 62
+    g = min(p * 64, max(p, est >> 23))  # ~8 MB/group, capped at 64×cores
     grp = F.pmod(F.xxhash64(*key_cols), F.lit(g)).cast("int")
     return sel.groupBy(grp.alias("_grp"))
 
@@ -158,6 +183,25 @@ def holt(
         starts = np.flatnonzero(new)
         lens = np.diff(np.append(starts, len(pdf)))
         n_series, max_len = len(starts), int(lens.max()) if len(lens) else 0
+        if n_series and n_series * max_len > 8 * len(pdf):
+            # same pathological-padding fallback as ewma: identical
+            # float associations per element → bit-identical output
+            lv = np.empty(len(pdf), dtype=np.float64)
+            tv = np.empty(len(pdf), dtype=np.float64)
+            for s, ln in zip(starts, lens):
+                xs = x[s : s + ln]
+                lvl_s, trd_s = xs[0], 0.0
+                lv[s], tv[s] = lvl_s, trd_s
+                for t in range(1, ln):
+                    lvl_new = a * xs[t] + da * (lvl_s + trd_s)
+                    trd_s = b * (lvl_new - lvl_s) + db * trd_s
+                    lvl_s = lvl_new
+                    lv[s + t], tv[s + t] = lvl_s, trd_s
+            out = pdf.copy()
+            out["level"] = lv
+            out["trend"] = tv
+            out["forecast_1"] = out["level"] + out["trend"]
+            return out
         xm = np.zeros((n_series, max_len), dtype=np.float64)
         mask = np.arange(max_len)[None, :] < lens[:, None]
         xm[mask] = x

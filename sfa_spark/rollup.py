@@ -113,6 +113,10 @@ def dense_spine(
     min and max observed bucket. Generated executor-side via
     ``sequence() + explode`` — no driver loop, stays partitioned by key.
 
+    NOTE (r6): :func:`gap_fill_locf` no longer uses this — it generates
+    dense rows directly from the observed rows (join-free). This stays
+    as a public utility for callers that need a bare spine.
+
     Explicit shuffle sizing (north rule): the per-key min/max aggregate is
     tiny (one row per key), so AQE coalesces its shuffle to ~1 partition —
     and the downstream explode fans each row out to possibly millions of
@@ -192,8 +196,15 @@ def gap_fill_locf(
     )
     interval = F.expr(f"INTERVAL {step} SECOND")
     # fill range of one observed row: its own bucket up to (not incl.)
-    # the key's next observed bucket; the key's last row covers itself
-    end = F.coalesce(F.col("_next_ts") - interval, F.col("bucket_ts"))
+    # the key's next observed bucket; the key's last row covers itself.
+    # greatest(...) guards duplicate (key, bucket_ts) input rows — lead
+    # then equals the row's own bucket and sequence(b, b-step) would
+    # throw; each duplicate emits its own bucket instead (the old join
+    # formulation passed duplicates through without error)
+    end = F.greatest(
+        F.coalesce(F.col("_next_ts") - interval, F.col("bucket_ts")),
+        F.col("bucket_ts"),
+    )
     e = base.withColumn(
         "_fill_ts", F.explode(F.sequence(F.col("bucket_ts"), end, interval))
     )

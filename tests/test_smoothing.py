@@ -140,3 +140,59 @@ def test_holt_tracks_linear_trend(spark):
     tail = got.iloc[-1]
     assert abs(tail["trend"] - 3.0) < 1e-6
     assert abs(tail["forecast_1"] - 3.0 * 200) < 1e-5
+
+
+def test_padding_blowup_fallback_bit_exact(spark):
+    """r6: one pathologically long series grouped with many short ones
+    trips the >8x padding guard; the per-series fallback recurrence must
+    be bit-identical to the padded sweep (same float associations)."""
+    import numpy as np
+    import pandas as pd
+
+    from sfa_spark.operators.smoothing import ewma, holt
+
+    from pyspark.sql import functions as F
+
+    # pick 40 keys that all land in ONE coarse hash bucket, so the
+    # kernel call really holds 1 long + 39 short series and the
+    # (n_series x max_len) pivot would inflate >8x — tripping the guard
+    g = spark.sparkContext.defaultParallelism
+    cand = (
+        spark.range(4000)
+        .select("id", F.pmod(F.xxhash64("id"), F.lit(g)).alias("b"))
+        .toPandas()
+    )
+    bucket = int(cand["b"].iloc[0])
+    keys = cand[cand["b"] == bucket]["id"].tolist()[:40]
+    assert len(keys) == 40
+    rng = np.random.default_rng(3)
+    rows = [
+        (int(keys[0]), t, float(v))
+        for t, v in enumerate(rng.standard_normal(5000))
+    ]
+    for k in keys[1:]:
+        rows += [(int(k), t, float(v)) for t, v in enumerate(rng.standard_normal(3))]
+    one = spark.createDataFrame(pd.DataFrame(rows, columns=["key", "t", "v"]))
+    e_all = (
+        ewma(one, ["key"], "t", "v", 0.2, order_cols=None)
+        .toPandas().sort_values(["key", "t"]).reset_index(drop=True)
+    )
+    # reference: per-series grouping (original formulation, one series
+    # per pandas call -> padded path with a single row, never the guard)
+    ref_rows = []
+    for k, grp in pd.DataFrame(rows, columns=["key", "t", "v"]).groupby("key"):
+        xs = grp.sort_values("t")["v"].to_numpy()
+        cur = xs[0]
+        out = [cur]
+        for t in range(1, xs.size):
+            cur = 0.2 * xs[t] + 0.8 * cur
+            out.append(cur)
+        for t, y in enumerate(out):
+            ref_rows.append((k, t, y))
+    ref = pd.DataFrame(ref_rows, columns=["key", "t", "ewma"]).sort_values(
+        ["key", "t"]
+    ).reset_index(drop=True)
+    assert np.array_equal(e_all["ewma"].to_numpy(), ref["ewma"].to_numpy())
+    # holt fallback smoke: runs, right row count, finite outputs
+    h_all = holt(one, ["key"], "t", "v", 0.3, 0.2).toPandas()
+    assert len(h_all) == len(rows) and np.isfinite(h_all["level"]).all()
