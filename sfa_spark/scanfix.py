@@ -22,6 +22,20 @@ deliberate no-op in every situation where the fixup would be wrong:
   (any real multi-file / multi-row-group table, i.e. the 100 TB case —
   there the map-side partial aggregation is load-bearing and stays).
 
+Split count alone is NOT the right starvation signal (r6 continuation):
+Spark sizes file splits to ``totalSize / defaultParallelism`` (floored by
+``openCostInBytes``), so a 200 MB single-row-group file "yields" 32
+splits — but a parquet row group belongs entirely to the one split
+containing its midpoint, so 31 of those splits are EMPTY and the scan
+still runs as one task. Measured at a synthetic 10M-row single-row-group
+table (sf10-shaped): the fixup silently stopped firing and the 1m rollup
+regressed to the single-task partial-agg plan — 7.7s vs 3.3s with the
+repartition. The starved check therefore bounds the split count by the
+number of actual parallelizable units: parquet row groups summed over
+the scan's files (footer metadata only — a few ms, and only read when
+the file count alone is too small to saturate the cores; non-local or
+non-parquet inputs fall back to the split count).
+
 The partition count is ``2 × defaultParallelism`` (the engine-wide
 straggler-smoothing fan-out, see encode_tier_blocks_gapfill) and the
 partition columns should be the aggregation's key prefix so the exchange
@@ -52,6 +66,38 @@ def _is_bare_scan(df: DataFrame) -> bool:
     return bool(nodes) and nodes <= _SCAN_NODES
 
 
+def _row_group_units(df: DataFrame, p: int) -> int | None:
+    """Number of parquet row groups across the scan's files — the real
+    upper bound on scan tasks that produce rows (a split below a row
+    group is empty). ``None`` when it cannot be determined cheaply
+    (remote filesystem, non-parquet, more files than needed to decide):
+    the caller then trusts the split count."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or len(files) * 2 > p:
+        # no listing, or enough real files to feed the cores regardless
+        # of their internal layout — don't touch footers
+        return None
+    from urllib.parse import unquote, urlparse
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return None  # remote FS: footer reads aren't free there
+        try:
+            total += pq.ParquetFile(unquote(u.path) or f).num_row_groups
+        except Exception:
+            return None  # non-parquet / unreadable: trust the splits
+        if total * 2 > p:
+            return total  # already enough units — stop reading footers
+    return total
+
+
 def pin_scan_parallelism(
     df: DataFrame, part_cols: list[str | Column]
 ) -> DataFrame:
@@ -62,7 +108,11 @@ def pin_scan_parallelism(
             return df
         sc = df.sparkSession.sparkContext
         p = sc.defaultParallelism
-        if df.rdd.getNumPartitions() * 2 > p:
+        units = df.rdd.getNumPartitions()
+        rgs = _row_group_units(df, p)
+        if rgs is not None:
+            units = min(units, rgs)
+        if units * 2 > p:
             return df
     except Exception:  # plan introspection is best-effort
         return df

@@ -47,6 +47,47 @@ def test_scan_fixup_fires_only_on_starved_bare_scans(spark, events):
     assert "REPARTITION_BY_NUM" not in p2, p2[:1500]
 
 
+def test_scan_fixup_counts_row_groups_not_byte_splits(spark, events, tmp_path):
+    """r6 continuation: Spark sizes splits to totalSize/parallelism, so a
+    large single-row-group file 'yields' ~cores splits of which all but
+    one are EMPTY — split count alone said 'not starved' and the fixup
+    silently stopped firing at scale (measured: 1m rollup 7.7s vs 3.3s
+    at a 10M-row single-row-group table). The starved check must bound
+    splits by the real parallelizable units: parquet row groups."""
+    from sfa_spark.scanfix import _row_group_units, pin_scan_parallelism
+
+    path = str(tmp_path / "one_rg.parquet")
+    # one row group; split sizing of ~size/parallelism makes Spark report
+    # ~parallelism splits (the exact sizing the big-file regime produces)
+    events.coalesce(1).write.mode("overwrite").parquet(path)
+    import glob as _glob
+    import os as _os
+
+    size = sum(
+        _os.path.getsize(f) for f in _glob.glob(f"{path}/part-*.parquet")
+    )
+    p = spark.sparkContext.defaultParallelism
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(max(1, size // p))
+        )
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        df = spark.read.parquet(path).select("user_id", "ts", "value")
+        assert df.rdd.getNumPartitions() * 2 > p  # splits say "fine"...
+        n_files = len(df.inputFiles())
+        assert _row_group_units(df, p) == n_files  # ...row groups say "starved"
+        if n_files * 2 <= p:
+            fixed = pin_scan_parallelism(df, ["user_id"])
+            assert "RepartitionByExpression" in str(
+                fixed._jdf.queryExecution().optimizedPlan()
+            )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+
+
 def test_dense_spine_fanout_survives_aqe(events):
     """r6: the pre-explode repartition must reach the physical plan as
     REPARTITION_BY_NUM (AQE's min-partition floor had been coalescing
